@@ -1,0 +1,606 @@
+package graft.compile
+
+import graft.model._
+import graft.expr.NumericExprs
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode}
+import org.json4s._
+
+/** Compilation options.
+  *
+  * @param nullIsAbsent table-validation semantics: a null column value means
+  *   "property absent" — subschemas skip it, `required` catches it (the useful
+  *   semantics over fixed-schema tables). When false (conformance mode for
+  *   JSON-Schema-Test-Suite cases), null is JSON `null`: `type`/`enum`/`const`
+  *   see it, everything else skips it — matching the reference, where scalar
+  *   keywords ignore wrong-typed instances (validator.go:976,991,1003).
+  * @param validateFormat mirror of `ValidateOpts.ValidateFormat`
+  *   (schema.go:727-737): format is annotation-only unless enabled.
+  */
+final case class CompileOpts(nullIsAbsent: Boolean = true,
+                             validateFormat: Boolean = true)
+
+/** A compiled (sub)schema: a boolean validity predicate plus a column of
+  * violation records — `array<struct<keyword,keywordLocation,instanceLocation,
+  * message>>`, empty when valid. Violations mirror
+  * `ValidationError{Message,KeywordLocation,InstanceLocation}`
+  * (pkg/errors/errors.go:15-22); accumulation-not-fail-fast mirrors the
+  * keyword loop (schema.go:804-817). */
+final case class Compiled(valid: Column, violations: Column)
+
+/** Compiles a parsed schema against a concrete Spark DataType into Catalyst
+  * Column expressions. The reference's recursive interpreter
+  * (`ValidateSubSchema`, schema.go:796-819) unrolls here at compile time into
+  * one wide expression DAG evaluated per row inside whole-stage codegen —
+  * control never returns to the driver during validation. */
+object ConstraintCompiler {
+
+  val violationStructType: StructType = StructType(Seq(
+    StructField("keyword", StringType, nullable = false),
+    StructField("keywordLocation", StringType, nullable = false),
+    StructField("instanceLocation", StringType, nullable = true),
+    StructField("message", StringType, nullable = true)))
+  val violationsType: ArrayType = ArrayType(violationStructType, containsNull = false)
+
+  def emptyViolations: Column = GraftSql.toColumn(
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any]),
+      violationsType))
+
+  private def mkViolation(keyword: String, kwLoc: String, instLoc: Column, msg: Column): Column =
+    array(struct(lit(keyword).as("keyword"), lit(kwLoc).as("keywordLocation"),
+      instLoc.as("instanceLocation"), msg.as("message")))
+
+  /** Wrap a plain predicate into a Compiled with a single violation record. */
+  private def simple(pred: Column, keyword: String, kwLoc: String,
+                     instLoc: Column, msg: Column): Compiled =
+    Compiled(pred, when(pred, emptyViolations)
+      .otherwise(mkViolation(keyword, kwLoc, instLoc, msg)))
+
+  private def tryCastDouble(c: Column): Column =
+    GraftSql.toColumn(Cast(GraftSql.toExpression(c), DoubleType, None, EvalMode.TRY))
+
+  private case class Ctx(doc: SchemaDoc, opts: CompileOpts, refStack: Set[String]) {
+    def conformance: Boolean = !opts.nullIsAbsent
+  }
+
+  /** Entry point: compile `doc` to run against a column of type `dt`. */
+  def compile(doc: SchemaDoc, target: Column, dt: DataType,
+              opts: CompileOpts = CompileOpts()): Compiled =
+    compileNode(doc.root, Ctx(doc, opts, Set.empty), target, dt, "#", lit("#"))
+
+  // ------------------------------------------------------------------
+  private def compileNode(node: SchemaNode, ctx: Ctx, target: Column,
+                          dt: DataType, kwLoc: String, instLoc: Column): Compiled =
+    node match {
+      case BoolSchema(true) => Compiled(lit(true), emptyViolations)
+      case BoolSchema(false) =>
+        simple(lit(false), "$bool", kwLoc, instLoc, lit("schema is false"))
+      case s: ObjSchema =>
+        val raw = compileObj(s, ctx, target, dt, kwLoc, instLoc)
+        if (ctx.opts.nullIsAbsent) {
+          // table semantics: null target = absent → every keyword valid
+          Compiled(target.isNull || raw.valid,
+            when(target.isNull, emptyViolations).otherwise(raw.violations))
+        } else raw
+    }
+
+  private def and(cs: Seq[Compiled]): Compiled =
+    if (cs.isEmpty) Compiled(lit(true), emptyViolations)
+    else Compiled(cs.map(_.valid).reduce(_ && _),
+      if (cs.size == 1) cs.head.violations else concat(cs.map(_.violations): _*))
+
+  // ------------------------------------------------------------------
+  private def compileObj(s: ObjSchema, ctx: Ctx, target: Column, dt: DataType,
+                         kwLoc: String, instLoc: Column): Compiled = {
+    val kws = s.keywords
+
+    // --- keyword groups that share compile-time state (the reference's
+    //     Notes channel, resolved statically per SURVEY §2 mapping) ---
+    val ifS   = kws.collectFirst { case IfK(x) => x }
+    val thenS = kws.collectFirst { case ThenK(x) => x }
+    val elseS = kws.collectFirst { case ElseK(x) => x }
+    val containsS = kws.collectFirst { case ContainsK(x) => x }
+    val minContains = kws.collectFirst { case MinContainsK(n) => n }
+    val maxContains = kws.collectFirst { case MaxContainsK(n) => n }
+    val prefixItems = kws.collectFirst { case PrefixItemsK(ss) => ss }
+    val itemsS = kws.collectFirst { case ItemsK(x) => x }
+    val propsK = kws.collectFirst { case p: PropertiesK => p }
+    val patPropsK = kws.collectFirst { case p: PatternPropertiesK => p }
+    val addPropsK = kws.collectFirst { case p: AdditionalPropertiesK => p }
+
+    val grouped: Seq[Compiled] =
+      compileConditional(ifS, thenS, elseS, ctx, target, dt, kwLoc, instLoc).toSeq ++
+      compileContains(containsS, minContains, maxContains, ctx, target, dt, kwLoc, instLoc).toSeq ++
+      compileItems(prefixItems, itemsS, ctx, target, dt, kwLoc, instLoc).toSeq ++
+      compileObjectApplicators(propsK, patPropsK, addPropsK, ctx, target, dt, kwLoc, instLoc)
+
+    val singles: Seq[Compiled] = kws.flatMap {
+      case _: IfK | _: ThenK | _: ElseK | _: ContainsK | _: MinContainsK |
+           _: MaxContainsK | _: PrefixItemsK | _: ItemsK | _: PropertiesK |
+           _: PatternPropertiesK | _: AdditionalPropertiesK => None
+      case k => compileKeyword(k, ctx, target, dt, kwLoc, instLoc)
+    }
+    and(grouped ++ singles)
+  }
+
+  // ------------------------------------------------------------------
+  private def compileConditional(ifS: Option[SchemaNode], thenS: Option[SchemaNode],
+      elseS: Option[SchemaNode], ctx: Ctx, target: Column, dt: DataType,
+      kwLoc: String, instLoc: Column): Option[Compiled] =
+    ifS.map { cond =>
+      // `if` itself is always-valid; then/else are gated on its verdict
+      // (validator.go:178-233). The shared `cond` predicate is the static
+      // resolution of the "if" note.
+      val condValid = compileNode(cond, ctx, target, dt, s"$kwLoc/if", instLoc).valid
+      val thenC = thenS.map(t => compileNode(t, ctx, target, dt, s"$kwLoc/then", instLoc))
+        .getOrElse(Compiled(lit(true), emptyViolations))
+      val elseC = elseS.map(e => compileNode(e, ctx, target, dt, s"$kwLoc/else", instLoc))
+        .getOrElse(Compiled(lit(true), emptyViolations))
+      Compiled(when(condValid, thenC.valid).otherwise(elseC.valid),
+        when(condValid, thenC.violations).otherwise(elseC.violations))
+    }.orElse {
+      // then/else with no sibling if: no-op (notes absent → skip, :203,:222)
+      if (thenS.isDefined || elseS.isDefined) Some(Compiled(lit(true), emptyViolations)) else None
+    }
+
+  // ------------------------------------------------------------------
+  private def compileContains(containsS: Option[SchemaNode], minC: Option[Long],
+      maxC: Option[Long], ctx: Ctx, target: Column, dt: DataType,
+      kwLoc: String, instLoc: Column): Option[Compiled] =
+    containsS.map { sub =>
+      dt match {
+        case ArrayType(et, _) =>
+          // shared subexpression: count of matching elements — feeds
+          // contains/minContains/maxContains (the Notes channel, statically)
+          val matchCount = size(filter(target,
+            x => compileNode(sub, ctx, x, et, s"$kwLoc/contains", instLoc).valid))
+          // peephole: sibling minContains:0 makes bare `contains` always-valid
+          // (validator.go:389-400)
+          val needOne = !minC.contains(0L)
+          val checks = Seq.newBuilder[Compiled]
+          if (needOne) checks += simple(matchCount >= 1, "contains", s"$kwLoc/contains",
+            instLoc, lit("no array items match contains schema"))
+          minC.foreach(n => checks += simple(matchCount >= n, "minContains",
+            s"$kwLoc/minContains", instLoc, lit(s"fewer than $n items match contains schema")))
+          maxC.foreach(n => checks += simple(matchCount <= n, "maxContains",
+            s"$kwLoc/maxContains", instLoc, lit(s"more than $n items match contains schema")))
+          and(checks.result())
+        case _ => Compiled(lit(true), emptyViolations) // non-array: keyword ignored
+      }
+    }.orElse {
+      // minContains/maxContains with no contains sibling: no-op (:1115,:1128)
+      if (minC.isDefined || maxC.isDefined) Some(Compiled(lit(true), emptyViolations)) else None
+    }
+
+  // ------------------------------------------------------------------
+  private def compileItems(prefix: Option[Vector[SchemaNode]], itemsS: Option[SchemaNode],
+      ctx: Ctx, target: Column, dt: DataType, kwLoc: String,
+      instLoc: Column): Option[Compiled] = {
+    if (prefix.isEmpty && itemsS.isEmpty) return None
+    dt match {
+      case ArrayType(et, _) =>
+        val k = prefix.map(_.size).getOrElse(0)
+        val prefixChecks: Seq[Compiled] = prefix.toSeq.flatten.zipWithIndex.map {
+          case (sub, i) =>
+            val el = element_at(target, i + 1)
+            val c = compileNode(sub, ctx, el, et, s"$kwLoc/prefixItems/$i",
+              concat(instLoc, lit(s"/$i")))
+            // element i only constrained when it exists (validator.go:283-302)
+            Compiled(size(target) <= i || c.valid,
+              when(size(target) <= i, emptyViolations).otherwise(c.violations))
+        }
+        val itemsCheck: Option[Compiled] = itemsS.map { sub =>
+          // items applies to elements at index >= k (validator.go:339-383).
+          // Per-element violations carry the element index in instanceLocation
+          // (mirrors InstancePointer composition, schema.go:1120-1144).
+          val perElemValid = transform(target,
+            (x, i) => i < k || compileNode(sub, ctx, x, et, s"$kwLoc/items", instLoc).valid)
+          val valid = forall(perElemValid, b => b)
+          val viols = flatten(filter(
+            transform(target, (x, i) =>
+              when(i >= k,
+                compileNode(sub, ctx, x, et, s"$kwLoc/items",
+                  concat(instLoc, lit("/"), i.cast(StringType))).violations)
+              .otherwise(emptyViolations)),
+            a => size(a) > 0))
+          Compiled(valid, coalesce(viols, emptyViolations))
+        }
+        Some(and(prefixChecks ++ itemsCheck.toSeq))
+      case _ => Some(Compiled(lit(true), emptyViolations))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  /** properties / patternProperties / additionalProperties over a fixed
+    * StructType: the "which fields are covered" question — runtime notes in
+    * the reference (propertiesNote, validator.go:529-534,595-604) — is fully
+    * static here, so additionalProperties costs nothing per row. MapType gets
+    * the dynamic-key treatment via map_* higher-order functions. */
+  private def compileObjectApplicators(propsK: Option[PropertiesK],
+      patPropsK: Option[PatternPropertiesK], addPropsK: Option[AdditionalPropertiesK],
+      ctx: Ctx, target: Column, dt: DataType, kwLoc: String,
+      instLoc: Column): Seq[Compiled] = {
+    if (propsK.isEmpty && patPropsK.isEmpty && addPropsK.isEmpty) return Nil
+    dt match {
+      case st: StructType =>
+        val fieldNames = st.fieldNames.toSeq
+        val props = propsK.map(_.props).getOrElse(Vector.empty)
+        val pats = patPropsK.map(_.pats).getOrElse(Vector.empty)
+        val propChecks = props.flatMap { case (name, sub) =>
+          st.fields.find(_.name == name).map { f =>
+            val child = target.getField(name)
+            compileNode(sub, ctx, child, f.dataType,
+              s"$kwLoc/properties/${escapePtr(name)}",
+              concat(instLoc, lit(s"/${escapePtr(name)}")))
+          } // absent field → property not present → valid (skip)
+        }
+        val patChecks = pats.flatMap { case (pat, sub) =>
+          val re = java.util.regex.Pattern.compile(pat)
+          fieldNames.filter(n => re.matcher(n).find()).map { n =>
+            val fdt = st.fields.find(_.name == n).get.dataType
+            compileNode(sub, ctx, target.getField(n), fdt,
+              s"$kwLoc/patternProperties/${escapePtr(pat)}",
+              concat(instLoc, lit(s"/${escapePtr(n)}")))
+          }
+        }
+        val addChecks = addPropsK.toSeq.flatMap { ap =>
+          val covered = props.map(_._1).toSet
+          val patRes = pats.map(p => java.util.regex.Pattern.compile(p._1))
+          val uncovered = fieldNames.filterNot(n =>
+            covered(n) || patRes.exists(_.matcher(n).find()))
+          uncovered.map { n =>
+            val fdt = st.fields.find(_.name == n).get.dataType
+            val child = target.getField(n)
+            val inner = compileNode(ap.schema, ctx, child, fdt,
+              s"$kwLoc/additionalProperties",
+              concat(instLoc, lit(s"/${escapePtr(n)}")))
+            // only constrains *present* fields; message mirrors
+            // "unknown property %q" rewrite (validator.go:613-619)
+            Compiled(child.isNull || inner.valid,
+              when(child.isNull || inner.valid, emptyViolations)
+                .otherwise(when(lit(isFalseSchema(ap.schema)),
+                  mkViolation("additionalProperties", s"$kwLoc/additionalProperties",
+                    concat(instLoc, lit(s"/${escapePtr(n)}")), lit(s"unknown property \"$n\"")))
+                .otherwise(inner.violations)))
+          }
+        }
+        Seq(and(propChecks ++ patChecks ++ addChecks))
+
+      case MapType(StringType, vt, _) =>
+        val props = propsK.map(_.props).getOrElse(Vector.empty)
+        val propChecks = props.map { case (name, sub) =>
+          val v = element_at(target, lit(name))
+          val inner = compileNode(sub, ctx, v, vt,
+            s"$kwLoc/properties/${escapePtr(name)}",
+            concat(instLoc, lit(s"/${escapePtr(name)}")))
+          Compiled(v.isNull || inner.valid,
+            when(v.isNull, emptyViolations).otherwise(inner.violations))
+        }
+        val patChecks = patPropsK.toSeq.flatMap(_.pats).map { case (pat, sub) =>
+          val badKeys = filter(map_keys(target), k =>
+            k.rlike(pat) && !compileNode(sub, ctx, element_at(target, k), vt,
+              s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc).valid)
+          simple(size(badKeys) === 0, "patternProperties",
+            s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc,
+            concat(lit("map values failing pattern schema at keys: "),
+              array_join(badKeys, ",")))
+        }
+        val addChecks = addPropsK.toSeq.map { ap =>
+          val covered = props.map(_._1)
+          val pats = patPropsK.map(_.pats.map(_._1)).getOrElse(Vector.empty)
+          val uncoveredKeys = filter(map_keys(target), k =>
+            !k.isin(covered: _*) && !pats.foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
+          val badKeys = filter(uncoveredKeys, k =>
+            !compileNode(ap.schema, ctx, element_at(target, k), vt,
+              s"$kwLoc/additionalProperties", instLoc).valid)
+          simple(size(badKeys) === 0, "additionalProperties",
+            s"$kwLoc/additionalProperties", instLoc,
+            concat(lit("unknown properties: "), array_join(badKeys, ",")))
+        }
+        Seq(and(propChecks ++ patChecks ++ addChecks))
+
+      case _ => Seq(Compiled(lit(true), emptyViolations))
+    }
+  }
+
+  private def isFalseSchema(n: SchemaNode): Boolean = n == BoolSchema(false)
+
+  /** RFC6901 escaping for JSON-Pointer tokens (errors.go:76-100). */
+  private def escapePtr(s: String): String = s.replace("~", "~0").replace("/", "~1")
+
+  // ------------------------------------------------------------------
+  private def compileKeyword(k: Keyword, ctx: Ctx, target: Column, dt: DataType,
+                             kwLoc: String, instLoc: Column): Option[Compiled] = {
+    val conf = ctx.conformance
+    def loc(name: String) = s"$kwLoc/$name"
+
+    /** numeric keyword: applies to numeric instances, and — reference quirk
+      * (validator.go:1275-1281) — to strings that parse as floats. */
+    def numericPred(f: Column => Column): Option[Column] = dt match {
+      case _: NumericType => Some(target.isNull || f(target.cast(DoubleType)))
+      case StringType =>
+        val d = tryCastDouble(target)
+        Some(target.isNull || d.isNull || f(d))
+      case _ => None
+    }
+    def stringPred(f: Column => Column): Option[Column] = dt match {
+      case StringType => Some(target.isNull || f(target))
+      case _ => None
+    }
+    def arrayPred(f: Column => Column): Option[Column] = dt match {
+      case _: ArrayType => Some(target.isNull || f(target))
+      case _ => None
+    }
+
+    k match {
+      case TypeK(types) =>
+        val nonNullOk: Column = dt match {
+          case StringType => lit(types.contains("string"))
+          case ByteType | ShortType | IntegerType | LongType =>
+            lit(types.contains("integer") || types.contains("number"))
+          case _: NumericType => // fractional: integer iff integral value (:801-809)
+            if (types.contains("number")) lit(true)
+            else if (types.contains("integer")) NumericExprs.isIntegral(target)
+            else lit(false)
+          case BooleanType => lit(types.contains("boolean"))
+          case _: ArrayType => lit(types.contains("array"))
+          case _: StructType | _: MapType => lit(types.contains("object"))
+          case NullType => lit(types.contains("null"))
+          case DateType | TimestampType | TimestampNTZType => lit(types.contains("string"))
+          case BinaryType => lit(types.contains("string"))
+          case _ => lit(false)
+        }
+        val pred = if (conf) when(target.isNull, lit(types.contains("null"))).otherwise(nonNullOk)
+                   else target.isNull || nonNullOk
+        Some(simple(pred, "type", loc("type"), instLoc,
+          lit(s"instance is not of type ${types.toSeq.sorted.mkString("[", ",", "]")}")))
+
+      case EnumK(values) =>
+        val eqs = values.map(v => jvEq(target, dt, v))
+        val anyEq = eqs.reduceOption(_ || _).getOrElse(lit(false))
+        val pred =
+          if (conf) when(target.isNull, lit(values.contains(JNull))).otherwise(anyEq)
+          else target.isNull || anyEq
+        Some(simple(pred, "enum", loc("enum"), instLoc, lit("value not found in enum")))
+
+      case ConstK(v) =>
+        val pred =
+          if (conf) when(target.isNull, lit(v == JNull)).otherwise(jvEq(target, dt, v))
+          else target.isNull || jvEq(target, dt, v)
+        Some(simple(pred, "const", loc("const"), instLoc, lit("value does not equal const")))
+
+      case MinimumK(v) => numericPred(_ >= lit(v)).map(p =>
+        // message wording mirrors the reference's copy-paste quirk (:951)
+        simple(p, "minimum", loc("minimum"), instLoc, lit(s"value is larger than minimum $v")))
+      case MaximumK(v) => numericPred(_ <= lit(v)).map(p =>
+        simple(p, "maximum", loc("maximum"), instLoc, lit(s"value is larger than maximum $v")))
+      case ExclusiveMinimumK(v) => numericPred(_ > lit(v)).map(p =>
+        simple(p, "exclusiveMinimum", loc("exclusiveMinimum"), instLoc,
+          lit(s"value is not larger than exclusive minimum $v")))
+      case ExclusiveMaximumK(v) => numericPred(_ < lit(v)).map(p =>
+        simple(p, "exclusiveMaximum", loc("exclusiveMaximum"), instLoc,
+          lit(s"value is not smaller than exclusive maximum $v")))
+      case MultipleOfK(v) => numericPred(d => NumericExprs.isIntegral(d / lit(v))).map(p =>
+        simple(p, "multipleOf", loc("multipleOf"), instLoc, lit(s"value is not a multiple of $v")))
+
+      case MinLengthK(n) => stringPred(length(_) >= n).map(p =>
+        simple(p, "minLength", loc("minLength"), instLoc, lit(s"length is less than $n")))
+      case MaxLengthK(n) => stringPred(length(_) <= n).map(p =>
+        simple(p, "maxLength", loc("maxLength"), instLoc, lit(s"length is greater than $n")))
+      case PatternK(pat) =>
+        // compile-time regex validity check (reference compiles per call,
+        // validator.go:1008 — ours compiles once)
+        java.util.regex.Pattern.compile(pat)
+        stringPred(_.rlike(pat)).map(p =>
+          simple(p, "pattern", loc("pattern"), instLoc, lit(s"value does not match pattern")))
+      case FormatK(f) if ctx.opts.validateFormat =>
+        graft.compile.Formats.predicate(f).flatMap(fp => stringPred(fp).map(p =>
+          simple(p, "format", loc("format"), instLoc, lit(s"value is not a valid $f"))))
+
+      case MinItemsK(n) => arrayPred(size(_) >= n.toInt).map(p =>
+        simple(p, "minItems", loc("minItems"), instLoc, lit(s"array has fewer than $n items")))
+      case MaxItemsK(n) => arrayPred(size(_) <= n.toInt).map(p =>
+        simple(p, "maxItems", loc("maxItems"), instLoc, lit(s"array has more than $n items")))
+      case UniqueItemsK(true) => arrayPred(a => size(a) === size(array_distinct(a))).map(p =>
+        simple(p, "uniqueItems", loc("uniqueItems"), instLoc, lit("array items are not unique")))
+      case UniqueItemsK(false) => None
+
+      case RequiredK(names) => dt match {
+        case st: StructType =>
+          val checks = names.map { n =>
+            val present: Column =
+              if (!st.fieldNames.contains(n)) lit(false)
+              else if (conf) lit(true) // field in inferred schema ⇒ present
+              else target.getField(n).isNotNull
+            simple(target.isNull || present, "required", loc("required"), instLoc,
+              lit(s"missing required property \"$n\""))
+          }
+          Some(and(checks))
+        case MapType(StringType, _, _) =>
+          val checks = names.map(n => simple(target.isNull || map_contains_key(target, lit(n)),
+            "required", loc("required"), instLoc, lit(s"missing required property \"$n\"")))
+          Some(and(checks))
+        case _ => None
+      }
+
+      case DependentRequiredK(deps) => dt match {
+        case st: StructType =>
+          val checks = deps.flatMap { case (key, names) =>
+            if (!st.fieldNames.contains(key)) None
+            else {
+              val keyPresent = if (conf) lit(true) else target.getField(key).isNotNull
+              val allThere = names.map { n =>
+                if (!st.fieldNames.contains(n)) lit(false)
+                else if (conf) lit(true) else target.getField(n).isNotNull
+              }.reduceOption(_ && _).getOrElse(lit(true))
+              Some(simple(target.isNull || !keyPresent || allThere, "dependentRequired",
+                loc("dependentRequired"), instLoc,
+                lit(s"properties required when \"$key\" is present: ${names.mkString(",")}")))
+            }
+          }
+          Some(and(checks))
+        case _ => None
+      }
+
+      case DependentSchemasK(deps) => dt match {
+        case st: StructType =>
+          val checks = deps.flatMap { case (key, sub) =>
+            if (!st.fieldNames.contains(key)) None
+            else {
+              val keyPresent = if (conf) lit(true) else target.getField(key).isNotNull
+              val inner = compileNode(sub, ctx, target, dt,
+                s"$kwLoc/dependentSchemas/${escapePtr(key)}", instLoc)
+              Some(Compiled(target.isNull || !keyPresent || inner.valid,
+                when(target.isNull || !keyPresent, emptyViolations).otherwise(inner.violations)))
+            }
+          }
+          Some(and(checks))
+        case _ => None
+      }
+
+      case PropertyNamesK(sub) => dt match {
+        case st: StructType =>
+          // static: check each field name (a string literal) — constant folds
+          val bad = st.fieldNames.filterNot { n =>
+            // driver-side evaluation of the name predicate via a tiny local
+            // check: compile against lit(name) then constant-fold by hand for
+            // the common cases; fall back to accepting (names are static)
+            staticNameOk(sub, n, ctx)
+          }
+          Some(simple(lit(bad.isEmpty), "propertyNames", loc("propertyNames"), instLoc,
+            lit(s"property names not allowed: ${bad.mkString(",")}")))
+        case MapType(StringType, _, _) =>
+          val p = forall(map_keys(target), k =>
+            compileNode(sub, ctx, k, StringType, loc("propertyNames"), instLoc).valid)
+          Some(simple(target.isNull || p, "propertyNames", loc("propertyNames"), instLoc,
+            lit("a property name does not match propertyNames schema")))
+        case _ => None
+      }
+
+      case MinPropertiesK(n) => dt match {
+        case st: StructType =>
+          val cnt: Column = if (conf) lit(st.fields.length)
+            else st.fieldNames.map(f => target.getField(f).isNotNull.cast(IntegerType))
+              .reduceOption(_ + _).getOrElse(lit(0))
+          Some(simple(target.isNull || cnt >= n.toInt, "minProperties", loc("minProperties"),
+            instLoc, lit(s"object has fewer than $n properties")))
+        case MapType(StringType, _, _) =>
+          Some(simple(target.isNull || size(map_keys(target)) >= n.toInt, "minProperties",
+            loc("minProperties"), instLoc, lit(s"object has fewer than $n properties")))
+        case _ => None
+      }
+      case MaxPropertiesK(n) => dt match {
+        case st: StructType =>
+          val cnt: Column = if (conf) lit(st.fields.length)
+            else st.fieldNames.map(f => target.getField(f).isNotNull.cast(IntegerType))
+              .reduceOption(_ + _).getOrElse(lit(0))
+          Some(simple(target.isNull || cnt <= n.toInt, "maxProperties", loc("maxProperties"),
+            instLoc, lit(s"object has more than $n properties")))
+        case MapType(StringType, _, _) =>
+          Some(simple(target.isNull || size(map_keys(target)) <= n.toInt, "maxProperties",
+            loc("maxProperties"), instLoc, lit(s"object has more than $n properties")))
+        case _ => None
+      }
+
+      case AllOfK(ss) =>
+        val branches = ss.zipWithIndex.map { case (sub, i) =>
+          compileNode(sub, ctx, target, dt, s"$kwLoc/allOf/$i", instLoc) }
+        Some(and(branches))
+
+      case AnyOfK(ss) =>
+        val branches = ss.zipWithIndex.map { case (sub, i) =>
+          compileNode(sub, ctx, target, dt, s"$kwLoc/anyOf/$i", instLoc) }
+        val valid = branches.map(_.valid).reduce(_ || _)
+        Some(Compiled(valid, when(valid, emptyViolations).otherwise(
+          mkViolation("anyOf", loc("anyOf"), instLoc, lit("instance matches no anyOf schema")))))
+
+      case OneOfK(ss) =>
+        val branches = ss.zipWithIndex.map { case (sub, i) =>
+          compileNode(sub, ctx, target, dt, s"$kwLoc/oneOf/$i", instLoc) }
+        val matches = branches.map(_.valid.cast(IntegerType)).reduce(_ + _)
+        val valid = matches === 1
+        Some(Compiled(valid, when(valid, emptyViolations).otherwise(
+          mkViolation("oneOf", loc("oneOf"), instLoc,
+            when(matches === 0, lit("instance matches no oneOf schema"))
+              .otherwise(lit("instance matches more than one oneOf schema"))))))
+
+      case NotK(sub) =>
+        val inner = compileNode(sub, ctx, target, dt, loc("not"), instLoc)
+        Some(Compiled(!inner.valid, when(!inner.valid, emptyViolations).otherwise(
+          mkViolation("not", loc("not"), instLoc, lit("instance matches \"not\" schema")))))
+
+      case RefK(ref) =>
+        // lazy compile-time inlining; cycles with no intervening data descent
+        // are rejected (the reference depth-guards at 1000, schema.go:1087).
+        if (ctx.refStack.contains(ref))
+          throw new IllegalArgumentException(
+            s"unsupported: \\$$ref cycle without data descent at $ref")
+        val raw = ctx.doc.resolveRef(ref)
+        val sub = SchemaParser.parseNode(raw)
+        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
+          target, dt, loc("$ref"), instLoc))
+
+      case _: DefaultK | _: AnnotationK | _: FormatK => None
+      case other =>
+        throw new IllegalStateException(s"unhandled keyword ${other.name}")
+    }
+  }
+
+  /** Evaluate a propertyNames subschema against a static field name on the
+    * driver. Supports the scalar-string keyword subset (enough for real
+    * schemas: pattern / length / enum / const / format / type). */
+  private def staticNameOk(sub: SchemaNode, name: String, ctx: Ctx): Boolean = sub match {
+    case BoolSchema(b) => b
+    case ObjSchema(kws) => kws.forall {
+      case TypeK(ts) => ts.contains("string")
+      case PatternK(p) => java.util.regex.Pattern.compile(p).matcher(name).find()
+      case MinLengthK(n) => name.codePointCount(0, name.length) >= n
+      case MaxLengthK(n) => name.codePointCount(0, name.length) <= n
+      case EnumK(vs) => vs.contains(JString(name))
+      case ConstK(v) => v == JString(name)
+      case _ => true
+    }
+  }
+
+  /** Deep equality of a typed column against a JSON literal — the analogue of
+    * `reflect.DeepEqual` for enum/const (validator.go:879,892), resolved
+    * against the static DataType. Numbers compare as float64, matching the
+    * reference's decode (all JSON numbers → float64). */
+  private def jvEq(target: Column, dt: DataType, v: JValue): Column = (v, dt) match {
+    case (JNull, _) => target.isNull
+    case (JBool(b), BooleanType) => target <=> lit(b)
+    case (JString(s), StringType) => target <=> lit(s)
+    case (JInt(_) | JLong(_) | JDouble(_) | JDecimal(_), _: NumericType) =>
+      target.cast(DoubleType) <=> lit(jvNum(v))
+    case (JArray(items), ArrayType(et, _)) =>
+      val sameLen = size(target) === items.length
+      val elemsEq = items.zipWithIndex.map { case (it, i) =>
+        jvEq(element_at(target, i + 1), et, it) }
+        .reduceOption(_ && _).getOrElse(lit(true))
+      target.isNotNull && sameLen && elemsEq
+    case (o: JObject, st: StructType) =>
+      val objKeys = o.obj.map(_._1).toSet
+      if (!objKeys.subsetOf(st.fieldNames.toSet)) lit(false)
+      else {
+        val fieldsEq = st.fields.map { f =>
+          o.obj.find(_._1 == f.name) match {
+            case Some((_, fv)) => jvEq(target.getField(f.name), f.dataType, fv)
+            case None => target.getField(f.name).isNull
+          }
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        target.isNotNull && fieldsEq
+      }
+    case _ => lit(false) // cross-type: never deep-equal
+  }
+
+  private def jvNum(v: JValue): Double = v match {
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case _ => Double.NaN
+  }
+}

@@ -1,0 +1,260 @@
+package graft.model
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Typed IR for a JSON Schema (draft 2020-12 subset) — the analogue of the
+  * reference's ordered `Part` list (`pkg/types/schema/schema.go:32-35,886-889`),
+  * re-expressed as a Scala ADT that the Catalyst compiler walks.
+  *
+  * Unlike the reference, `$ref`s are NOT pre-resolved into the tree
+  * (`pkg/draft202012/builder.go:286-405`); they stay symbolic (`RefK`) and are
+  * resolved lazily during compilation against a concrete Spark `DataType`, so
+  * recursive schemas terminate naturally when the (finite) data type bottoms out.
+  */
+sealed trait SchemaNode
+
+/** `true` / `false` schema — reference's synthetic `$bool` keyword
+  * (`pkg/types/schema/schema.go:1175-1196`). */
+final case class BoolSchema(value: Boolean) extends SchemaNode
+
+/** An object schema: keyword list in source order (compiler handles the
+  * note-producer-before-consumer ordering internally, mirroring the
+  * reference's `sortRank` topological sort, `internal/cmd/keywordgen/sort.go`). */
+final case class ObjSchema(keywords: Vector[Keyword]) extends SchemaNode {
+  def find[K <: Keyword](implicit ct: scala.reflect.ClassTag[K]): Option[K] =
+    keywords.collectFirst { case k: K => k }
+}
+
+sealed trait Keyword { def name: String }
+
+// ---- scalar keywords (internal/validator/validator.go:753-1020) ----
+final case class TypeK(types: Set[String])              extends Keyword { val name = "type" }
+final case class EnumK(values: List[JValue])            extends Keyword { val name = "enum" }
+final case class ConstK(value: JValue)                  extends Keyword { val name = "const" }
+final case class MinimumK(v: Double)                    extends Keyword { val name = "minimum" }
+final case class MaximumK(v: Double)                    extends Keyword { val name = "maximum" }
+final case class ExclusiveMinimumK(v: Double)           extends Keyword { val name = "exclusiveMinimum" }
+final case class ExclusiveMaximumK(v: Double)           extends Keyword { val name = "exclusiveMaximum" }
+final case class MultipleOfK(v: Double)                 extends Keyword { val name = "multipleOf" }
+final case class MinLengthK(n: Long)                    extends Keyword { val name = "minLength" }
+final case class MaxLengthK(n: Long)                    extends Keyword { val name = "maxLength" }
+final case class PatternK(pattern: String)              extends Keyword { val name = "pattern" }
+final case class FormatK(format: String)                extends Keyword { val name = "format" }
+final case class DefaultK(value: JValue)                extends Keyword { val name = "default" }
+
+// ---- array keywords (validator.go:274-439, 1023-1137) ----
+final case class ItemsK(schema: SchemaNode)             extends Keyword { val name = "items" }
+final case class PrefixItemsK(schemas: Vector[SchemaNode]) extends Keyword { val name = "prefixItems" }
+final case class ContainsK(schema: SchemaNode)          extends Keyword { val name = "contains" }
+final case class MinContainsK(n: Long)                  extends Keyword { val name = "minContains" }
+final case class MaxContainsK(n: Long)                  extends Keyword { val name = "maxContains" }
+final case class MinItemsK(n: Long)                     extends Keyword { val name = "minItems" }
+final case class MaxItemsK(n: Long)                     extends Keyword { val name = "maxItems" }
+final case class UniqueItemsK(unique: Boolean)          extends Keyword { val name = "uniqueItems" }
+
+// ---- object keywords (validator.go:450-750, 1140-1224) ----
+final case class PropertiesK(props: Vector[(String, SchemaNode)]) extends Keyword { val name = "properties" }
+final case class PatternPropertiesK(pats: Vector[(String, SchemaNode)]) extends Keyword { val name = "patternProperties" }
+final case class AdditionalPropertiesK(schema: SchemaNode) extends Keyword { val name = "additionalProperties" }
+final case class PropertyNamesK(schema: SchemaNode)     extends Keyword { val name = "propertyNames" }
+final case class RequiredK(names: List[String])         extends Keyword { val name = "required" }
+final case class DependentRequiredK(deps: Vector[(String, List[String])]) extends Keyword { val name = "dependentRequired" }
+final case class DependentSchemasK(deps: Vector[(String, SchemaNode)]) extends Keyword { val name = "dependentSchemas" }
+final case class MinPropertiesK(n: Long)                extends Keyword { val name = "minProperties" }
+final case class MaxPropertiesK(n: Long)                extends Keyword { val name = "maxProperties" }
+
+// ---- applicators (validator.go:62-263) ----
+final case class AllOfK(schemas: Vector[SchemaNode])    extends Keyword { val name = "allOf" }
+final case class AnyOfK(schemas: Vector[SchemaNode])    extends Keyword { val name = "anyOf" }
+final case class OneOfK(schemas: Vector[SchemaNode])    extends Keyword { val name = "oneOf" }
+final case class NotK(schema: SchemaNode)               extends Keyword { val name = "not" }
+final case class IfK(schema: SchemaNode)                extends Keyword { val name = "if" }
+final case class ThenK(schema: SchemaNode)              extends Keyword { val name = "then" }
+final case class ElseK(schema: SchemaNode)              extends Keyword { val name = "else" }
+
+/** Symbolic reference; resolved at compile time (lazy inlining). */
+final case class RefK(ref: String)                      extends Keyword { val name = "$ref" }
+
+/** Annotation-only keywords retained as metadata (keywords.go:337-412) +
+  * unknown keywords retained always-valid (schema.go:521-532). */
+final case class AnnotationK(name: String, value: JValue) extends Keyword
+
+/** A parsed schema document: root node + raw tree for `$ref`/`$defs`
+  * resolution + `$anchor`/`$id` symbol table. */
+final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
+                           anchors: Map[String, JValue]) {
+
+  /** Resolve a `$ref` string to the referenced raw subtree.
+    * Supports "#", "#/json/pointer", "#anchor". Remote refs unsupported
+    * (the reference errors without a Loader too, schema.go:1044). */
+  def resolveRef(ref: String): JValue = ref match {
+    case "#" => rawRoot
+    case r if r.startsWith("#/") => SchemaParser.jsonPointer(rawRoot, r.drop(1))
+    case r if r.startsWith("#") =>
+      anchors.getOrElse(r.drop(1),
+        throw new IllegalArgumentException(s"unknown anchor: $r"))
+    case r => anchors.getOrElse(r,
+      throw new IllegalArgumentException(s"unresolvable non-local \\$$ref: $r"))
+  }
+}
+
+/** JSON Schema text → typed IR. Mirrors the reference's
+  * `buildFromJSON`/`addKeywordFromJSON` (`pkg/types/schema/schema.go:491-698`)
+  * but is a pure function — no registries, no mutation. */
+object SchemaParser {
+
+  def parse(jsonText: String): SchemaDoc = parseJValue(JsonMethods.parse(jsonText))
+
+  def parseJValue(raw: JValue): SchemaDoc = {
+    val anchors = collectAnchors(raw, Map.empty)
+    SchemaDoc(parseNode(raw), raw, anchors)
+  }
+
+  /** Walk the raw tree and collect `$anchor` (and top-level `$id`-relative
+    * anchors are out of scope — single-document resolution only). */
+  private def collectAnchors(v: JValue, acc: Map[String, JValue]): Map[String, JValue] = v match {
+    case o: JObject =>
+      val here = o \ "$anchor" match {
+        case JString(a) => acc + (a -> o)
+        case _ => acc
+      }
+      o.obj.foldLeft(here) { case (m, (_, child)) => collectAnchors(child, m) }
+    case JArray(items) => items.foldLeft(acc)((m, c) => collectAnchors(c, m))
+    case _ => acc
+  }
+
+  def parseNode(v: JValue): SchemaNode = v match {
+    case JBool(b) => BoolSchema(b)
+    case o: JObject =>
+      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv) }.toVector
+      ObjSchema(kws)
+    case other =>
+      throw new IllegalArgumentException(s"schema must be object or boolean, got $other")
+  }
+
+  private def num(v: JValue): Double = v match {
+    case JInt(i) => i.toDouble
+    case JLong(l) => l.toDouble
+    case JDouble(d) => d
+    case JDecimal(d) => d.toDouble
+    case other => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+  private def int(v: JValue): Long = v match {
+    case JInt(i) => i.toLong
+    case JLong(l) => l
+    case JDouble(d) if d.isWhole => d.toLong
+    case JDecimal(d) if d.isWhole => d.toLong
+    case other => throw new IllegalArgumentException(s"expected integer, got $other")
+  }
+  private def str(v: JValue): String = v match {
+    case JString(s) => s
+    case other => throw new IllegalArgumentException(s"expected string, got $other")
+  }
+  private def strings(v: JValue): List[String] = v match {
+    case JArray(items) => items.map(str)
+    case other => throw new IllegalArgumentException(s"expected string array, got $other")
+  }
+  private def schemas(v: JValue): Vector[SchemaNode] = v match {
+    case JArray(items) => items.map(parseNode).toVector
+    case other => throw new IllegalArgumentException(s"expected schema array, got $other")
+  }
+
+  /** One keyword → zero-or-one typed Keyword. Unknown keywords are retained
+    * as always-valid annotations, matching schema.go:521-532. */
+  private def parseKeyword(k: String, v: JValue): Option[Keyword] = Some(k match {
+    case "type" => v match {
+      case JString(s) => TypeK(Set(s))
+      case JArray(items) => TypeK(items.map(str).toSet)
+      case other => throw new IllegalArgumentException(s"bad type arg: $other")
+    }
+    case "enum" => v match {
+      case JArray(items) => EnumK(items)
+      case other => throw new IllegalArgumentException(s"bad enum arg: $other")
+    }
+    case "const" => ConstK(v)
+    case "minimum" => MinimumK(num(v))
+    case "maximum" => MaximumK(num(v))
+    case "exclusiveMinimum" => ExclusiveMinimumK(num(v))
+    case "exclusiveMaximum" => ExclusiveMaximumK(num(v))
+    case "multipleOf" => MultipleOfK(num(v))
+    case "minLength" => MinLengthK(int(v))
+    case "maxLength" => MaxLengthK(int(v))
+    case "pattern" => PatternK(str(v))
+    case "format" => FormatK(str(v))
+    case "default" => DefaultK(v)
+    case "items" => ItemsK(parseNode(v))
+    case "prefixItems" => PrefixItemsK(schemas(v))
+    case "contains" => ContainsK(parseNode(v))
+    case "minContains" => MinContainsK(int(v))
+    case "maxContains" => MaxContainsK(int(v))
+    case "minItems" => MinItemsK(int(v))
+    case "maxItems" => MaxItemsK(int(v))
+    case "uniqueItems" => UniqueItemsK(v match {
+      case JBool(b) => b
+      case other => throw new IllegalArgumentException(s"bad uniqueItems: $other")
+    })
+    case "properties" => v match {
+      case o: JObject => PropertiesK(o.obj.map { case (n, s) => n -> parseNode(s) }.toVector)
+      case other => throw new IllegalArgumentException(s"bad properties: $other")
+    }
+    case "patternProperties" => v match {
+      case o: JObject => PatternPropertiesK(o.obj.map { case (n, s) => n -> parseNode(s) }.toVector)
+      case other => throw new IllegalArgumentException(s"bad patternProperties: $other")
+    }
+    case "additionalProperties" => AdditionalPropertiesK(parseNode(v))
+    case "propertyNames" => PropertyNamesK(parseNode(v))
+    case "required" => RequiredK(strings(v))
+    case "dependentRequired" => v match {
+      case o: JObject => DependentRequiredK(o.obj.map { case (n, l) => n -> strings(l) }.toVector)
+      case other => throw new IllegalArgumentException(s"bad dependentRequired: $other")
+    }
+    case "dependentSchemas" => v match {
+      case o: JObject => DependentSchemasK(o.obj.map { case (n, s) => n -> parseNode(s) }.toVector)
+      case other => throw new IllegalArgumentException(s"bad dependentSchemas: $other")
+    }
+    // draft-7 `dependencies`: list form = dependentRequired, schema form =
+    // dependentSchemas (validator.go:1299-1342)
+    case "dependencies" => v match {
+      case o: JObject =>
+        val (reqs, schs) = o.obj.partition { case (_, JArray(_)) => true; case _ => false }
+        if (schs.isEmpty) DependentRequiredK(reqs.map { case (n, l) => n -> strings(l) }.toVector)
+        else if (reqs.isEmpty) DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s) }.toVector)
+        else return Some(AllOfLike(
+          DependentRequiredK(reqs.map { case (n, l) => n -> strings(l) }.toVector),
+          DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s) }.toVector)))
+      case other => throw new IllegalArgumentException(s"bad dependencies: $other")
+    }
+    case "minProperties" => MinPropertiesK(int(v))
+    case "maxProperties" => MaxPropertiesK(int(v))
+    case "allOf" => AllOfK(schemas(v))
+    case "anyOf" => AnyOfK(schemas(v))
+    case "oneOf" => OneOfK(schemas(v))
+    case "not" => NotK(parseNode(v))
+    case "if" => IfK(parseNode(v))
+    case "then" => ThenK(parseNode(v))
+    case "else" => ElseK(parseNode(v))
+    case "$ref" => RefK(str(v))
+    // identifier / annotation keywords: always valid (keywords.go:20-75,337-412)
+    case other => AnnotationK(other, v)
+  })
+
+  /** Helper for draft-7 `dependencies` carrying both forms. */
+  private def AllOfLike(a: Keyword, b: Keyword): Keyword =
+    AllOfK(Vector(ObjSchema(Vector(a)), ObjSchema(Vector(b))))
+
+  /** RFC6901 JSON-Pointer over a JValue (mirrors pkg/jsonpointer). */
+  def jsonPointer(root: JValue, pointer: String): JValue = {
+    if (pointer.isEmpty) return root
+    require(pointer.startsWith("/"), s"bad pointer: $pointer")
+    pointer.drop(1).split("/", -1).foldLeft(root) { (cur, rawTok) =>
+      val tok = rawTok.replace("~1", "/").replace("~0", "~")
+      cur match {
+        case o: JObject => o.obj.collectFirst { case (k, v) if k == tok => v }
+          .getOrElse(throw new IllegalArgumentException(s"pointer $pointer: no key '$tok'"))
+        case JArray(items) => items(tok.toInt)
+        case other => throw new IllegalArgumentException(s"pointer $pointer into non-container $other")
+      }
+    }
+  }
+}
