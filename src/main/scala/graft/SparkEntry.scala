@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.model.SchemaParser
+import graft.row.RowValidator
+import graft.table.{Dedup, Similarity, TableChecks, TextAnalysis}
+import graft.tokens.TokenSeqs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), each with a DuckDB oracle over the same parquet tables.
+  *
+  * All floating-point outputs are rounded to 6 decimals in BOTH engines, and
+  * money sums go through decimal(18,2) so the hash compare is bit-stable.
+  * All hashing used by dedup/similarity operators is explicit deterministic
+  * arithmetic reproduced verbatim in the oracle SQL (no engine hash functions).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Derived canonical token_sequences (TokenSeqs.fromDocuments) as SQL —
+    * token(w) = ascii(w)·32 + least(length(w),31). */
+  private val tokSql =
+    "list_transform(string_split(text, ' '), w -> (ascii(w)*32 + least(length(w), 31))::INT)"
+
+  /** Validation schema used by the row-validation queries: bounds tuned so the
+    * real `documents` data yields violations of several keyword families. */
+  private val docSchemaJson: String =
+    """{
+      "type": "object",
+      "required": ["doc_id", "tokens", "n_tok", "source"],
+      "properties": {
+        "doc_id": {"type": "string", "pattern": "^[0-9]+$"},
+        "tokens": {
+          "type": "array",
+          "items": {"type": "integer", "minimum": 0, "maximum": 3900},
+          "minItems": 1, "maxItems": 8192
+        },
+        "n_tok": {"type": "integer", "minimum": 1, "maximum": 80},
+        "source": {"enum": ["src0","src1","src2","src3","src4","src5","src6","src7",
+                            "src8","src9","src10","src11","src12","src13","src14","src15"]}
+      }
+    }"""
+
+  private def tokenSeqs(s: SparkSession, dir: String): DataFrame =
+    TokenSeqs.fromDocuments(t(s, dir, "documents"))
+
+  /** Flagship: full row-level constraint validation over the canonical derived
+    * table at sf0.001 — violation rows out. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    RowValidator.violations(tokenSeqs(spark, "/root/testdata/sf0.001"),
+      SchemaParser.parse(docSchemaJson), "doc_id")
+
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core: scan/filter/agg (decimal-exact money sums) ----
+    "q1_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))
+    }),
+
+    // ---- broadcast join + agg ----
+    "q_join_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // ---- window: top-2 orders per customer ----
+    "q_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders").withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2).select("o_custkey", "o_orderkey", "rnk")
+    }),
+
+    // ---- sort / limit (top-k) ----
+    "q_sort_limit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .limit(10).select("l_orderkey", "l_linenumber", "l_extendedprice")),
+
+    // ---- anti / semi joins ----
+    "q_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey")
+    }),
+    "q_semi_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi").select("c_custkey")
+    }),
+
+    // ---- dataset-scope: uniqueness (plain + salted two-phase) ----
+    "q_dup_userid" -> ((s, dir) =>
+      TableChecks.duplicates(t(s, dir, "events"), "user_id")),
+    "q_dup_salted" -> ((s, dir) =>
+      TableChecks.duplicatesSalted(t(s, dir, "events"), "user_id", salt = 16)),
+
+    // ---- dataset-scope: referential integrity (broadcast anti-join) ----
+    "q_ri_violations" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dim = docs.select("source").distinct()
+        .filter(!col("source").isin("src16", "src17", "src18", "src19"))
+      TableChecks.referentialViolations(docs, dim, "source", "source")
+        .select("doc_id", "source")
+    }),
+
+    // ---- dataset-scope: column stats (exact subset for the oracle) ----
+    "q_stats_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val one = (c: String) => li.agg(
+        count(lit(1)).as("row_count"),
+        sum(col(c).isNull.cast("long")).as("null_count"),
+        min(col(c)).cast("double").as("min_v"), max(col(c)).cast("double").as("max_v"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("row_count"), col("null_count"),
+          col("min_v"), col("max_v"), col("n_distinct"))
+      one("l_quantity").unionByName(one("l_extendedprice"))
+    }),
+
+    // ---- dataset-scope: exact quantiles ----
+    "q_quantiles_nchars" -> ((s, dir) =>
+      t(s, dir, "documents").agg(
+        round(expr("percentile(n_chars, 0.25)"), 4).as("p25"),
+        round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
+        round(expr("percentile(n_chars, 0.75)"), 4).as("p75"))),
+
+    // ---- drift: two-sample KS statistic (en vs es on n_chars) ----
+    "q_ks_lang" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TableChecks.ksStatistic(docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") === "es"), "n_chars")
+        .select(round(col("ks_stat"), 6).as("ks_stat"))
+    }),
+
+    // ---- drift: chi-squared of source frequencies (en docs vs all) ----
+    "q_chi2_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TableChecks.chiSquaredStatistic(docs.filter(col("lang") === "en"), docs, "source")
+        .select(round(col("chi2_stat"), 6).as("chi2_stat"), col("n_categories"))
+    }),
+
+    // ---- row-level constraint validation over derived token_sequences ----
+    "q_row_violations" -> ((s, dir) =>
+      RowValidator.violations(tokenSeqs(s, dir), SchemaParser.parse(docSchemaJson), "doc_id")
+        .select("doc_id", "keyword").distinct()),
+    "q_violation_counts" -> ((s, dir) =>
+      RowValidator.violations(tokenSeqs(s, dir), SchemaParser.parse(docSchemaJson), "doc_id")
+        .groupBy("keyword").agg(count(lit(1)).as("cnt"))),
+
+    // ---- canonical derived table aggregate (derivation correctness) ----
+    "q_token_stats" -> ((s, dir) =>
+      tokenSeqs(s, dir).groupBy("source").agg(
+        count(lit(1)).as("cnt"), sum("n_tok").as("sum_ntok"),
+        min("n_tok").as("min_ntok"), max("n_tok").as("max_ntok"))),
+
+    // ---- document fingerprint (order-sensitive rolling hash) ----
+    "q_fingerprint" -> ((s, dir) =>
+      tokenSeqs(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("tokens")).as("fp"))),
+
+    // ---- dedup: exact (by full text) — keep-first count ----
+    "q_exact_dup" -> ((s, dir) =>
+      Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("text"), col("dup_count"))),
+    "q_dedup_keep_count" -> ((s, dir) =>
+      Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
+        .agg(count(lit(1)).as("cnt"))),
+
+    // ---- dedup: n-gram (3-shingle) Jaccard pairs ----
+    "q_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ---- dedup: MinHash-LSH candidate pairs + exact verify ----
+    "q_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ---- dedup: SimHash signatures (portable bit arithmetic) ----
+    "q_simhash" -> ((s, dir) =>
+      tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), Dedup.simhash32(col("tokens")).as("sig"))),
+
+    // ---- similarity: brute-force cosine top-3 ANN ----
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10)
+          .withColumnRenamed("vec_id", "query_id"),
+        "vec_id", "embedding", "query_id", k = 3)
+        .select(col("query_id"), col("item_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
+    // ---- similarity: embedding near-duplicate pairs ----
+    "q_near_dup_cosine" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", minCosine = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // ---- text analysis: language ID ----
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))),
+
+    // ---- text analysis: quality features ----
+    "q_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("quality_score"), 6).as("quality_score"))),
+
+    // ---- text analysis: token counting ----
+    "q_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_est_tokens")))
+  )
+
+  // =====================================================================
+
+  def oracleSql: Map[String, String] = {
+    val allowedSrc = (0 to 15).map(i => s"'src$i'").mkString(",")
+    // MinHash coefficients — identical constants to Dedup.minhashCoeffs(16, 42)
+    val coeffs = Dedup.minhashCoeffs(16)
+    val Seq((sa, sb)) = Dedup.minhashCoeffs(1)
+    val P = 2147483647L
+    val shSql = "list_transform(range(1, greatest(len(toks)-2, 0)+1), " +
+      "i -> toks[i]::BIGINT*16777216 + toks[i+1]::BIGINT*4096 + toks[i+2]::BIGINT)"
+    def mh(j: Int): String = {
+      val (a, b) = coeffs(j)
+      s"list_min(list_transform(sh, s -> ((s % $P + $P) % $P * ${a}::BIGINT + $b) % $P))"
+    }
+    val stop = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(",")
+    def hits(lang: String): String = {
+      val ws = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(",")
+      s"len(list_filter(string_split(text,' '), w -> w IN ($ws)))"
+    }
+
+    Map(
+      "q1_agg" ->
+        s"""SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           count(*) AS cnt
+           FROM lineitem WHERE l_shipdate <= '1998-09-01'
+           GROUP BY 1, 2""",
+
+      "q_join_agg" ->
+        s"""SELECT c_mktsegment,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1""",
+
+      "q_window_topk" ->
+        """SELECT o_custkey, o_orderkey, rnk FROM (
+           SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders) WHERE rnk <= 2""",
+
+      "q_sort_limit" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+           ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC LIMIT 10""",
+
+      "q_anti_join" ->
+        """SELECT c_custkey FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+
+      "q_semi_join" ->
+        """SELECT c_custkey FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+
+      "q_dup_userid" ->
+        "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 HAVING count(*) > 1",
+
+      "q_dup_salted" ->
+        "SELECT user_id, count(*) AS cnt FROM events GROUP BY 1 HAVING count(*) > 1",
+
+      "q_ri_violations" ->
+        s"SELECT doc_id, source FROM documents WHERE source NOT IN ($allowedSrc)",
+
+      "q_stats_lineitem" ->
+        """SELECT 'l_quantity' AS col_name, count(*) AS row_count,
+             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count,
+             CAST(min(l_quantity) AS DOUBLE) AS min_v,
+             CAST(max(l_quantity) AS DOUBLE) AS max_v,
+             count(DISTINCT l_quantity) AS n_distinct FROM lineitem
+           UNION ALL
+           SELECT 'l_extendedprice', count(*),
+             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+             CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
+             count(DISTINCT l_extendedprice) FROM lineitem""",
+
+      "q_quantiles_nchars" ->
+        """SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,
+           round(quantile_cont(n_chars, 0.5), 4) AS p50,
+           round(quantile_cont(n_chars, 0.75), 4) AS p75 FROM documents""",
+
+      "q_ks_lang" ->
+        """WITH a AS (SELECT n_chars::DOUBLE v, count(*) ca FROM documents WHERE lang='en' GROUP BY 1),
+           b AS (SELECT n_chars::DOUBLE v, count(*) cb FROM documents WHERE lang='es' GROUP BY 1),
+           m AS (SELECT coalesce(a.v, b.v) v, coalesce(ca,0) ca, coalesce(cb,0) cb
+                 FROM a FULL OUTER JOIN b ON a.v = b.v),
+           t AS (SELECT sum(ca) na, sum(cb) nb FROM m),
+           c AS (SELECT v, sum(ca) OVER (ORDER BY v) / (SELECT na FROM t) cdf_a,
+                          sum(cb) OVER (ORDER BY v) / (SELECT nb FROM t) cdf_b FROM m)
+           SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks_stat FROM c""",
+
+      "q_chi2_source" ->
+        """WITH o AS (SELECT source k, count(*) o FROM documents WHERE lang='en' GROUP BY 1),
+           e AS (SELECT source k, count(*) e FROM documents GROUP BY 1),
+           t AS (SELECT (SELECT sum(o) FROM o)::DOUBLE tot_o, (SELECT sum(e) FROM e)::DOUBLE tot_e),
+           j AS (SELECT coalesce(o.o, 0)::DOUBLE o,
+                        coalesce(e.e::DOUBLE, 0.5) * (SELECT tot_o/tot_e FROM t) e
+                 FROM o FULL OUTER JOIN e ON o.k = e.k)
+           SELECT round(sum((o - e)*(o - e)/e), 6) AS chi2_stat, count(*) AS n_categories FROM j""",
+
+      "q_row_violations" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents)
+           SELECT doc_id, 'maximum' AS keyword FROM ts
+             WHERE n_tok > 80 OR len(list_filter(toks, t -> t > 3900)) > 0
+           UNION
+           SELECT doc_id, 'enum' FROM ts WHERE source NOT IN ($allowedSrc)""",
+
+      "q_violation_counts" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents),
+           v AS (
+             SELECT 'maximum' keyword, count(*) FILTER (WHERE n_tok > 80)
+               + sum(len(list_filter(toks, t -> t > 3900))) cnt FROM ts
+             UNION ALL
+             SELECT 'enum', count(*) FILTER (WHERE source NOT IN ($allowedSrc)) FROM ts)
+           SELECT keyword, cnt::BIGINT cnt FROM v WHERE cnt > 0""",
+
+      "q_token_stats" ->
+        s"""WITH ts AS (SELECT len(string_split(text,' ')) n_tok, source FROM documents)
+           SELECT source, count(*) cnt, sum(n_tok)::BIGINT sum_ntok,
+             min(n_tok)::INT min_ntok, max(n_tok)::INT max_ntok FROM ts GROUP BY 1""",
+
+      "q_fingerprint" -> {
+        val pows = (0 until 8).map(i => math.pow(31.0, i).toLong).mkString("[", ",", "]")
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks FROM documents)
+           SELECT doc_id,
+             ((list_sum(list_transform(range(1, len(toks)+1),
+               i -> toks[i]::BIGINT * ($pows::BIGINT[])[((i-1) % 8) + 1])) % $P) + $P) % $P AS fp
+           FROM ts"""
+      },
+
+      "q_exact_dup" ->
+        """SELECT text, count(*) AS dup_count FROM documents
+           GROUP BY text HAVING count(*) > 1""",
+
+      "q_dedup_keep_count" ->
+        "SELECT count(*) AS cnt FROM (SELECT min(doc_id) FROM documents GROUP BY text)",
+
+      "q_jaccard_pairs" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+           sh AS (SELECT id, list_distinct($shSql) s FROM ts WHERE len(toks) >= 3),
+           ex AS (SELECT id, len(s) n, unnest(s) sv FROM sh),
+           pairs AS (
+             SELECT a.id id_a, b.id id_b, count(*) shared,
+                    any_value(a.n) n_a, any_value(b.n) n_b
+             FROM ex a JOIN ex b ON a.sv = b.sv AND a.id < b.id
+             GROUP BY 1, 2)
+           SELECT id_a, id_b,
+             round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
+           FROM pairs WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.5""",
+
+      "q_minhash_lsh" -> {
+        val bandKeys = (0 until 4).map { bi =>
+          val parts = (0 until 4).map(j => s"(${mh(bi * 4 + j)})::VARCHAR")
+          s"SELECT id, toks, $bi band, concat_ws('_', ${parts.mkString(", ")}) bkey FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+           sig AS (SELECT id, toks, list_distinct($shSql) sh FROM ts WHERE len(toks) > 2),
+           bands AS ($bandKeys),
+           cand AS (SELECT DISTINCT a.id id_a, b.id id_b, a.toks t_a, b.toks t_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+           v AS (SELECT id_a, id_b,
+             len(list_intersect(
+               list_distinct(list_transform(range(1, greatest(len(t_a)-2,0)+1), i -> t_a[i]::BIGINT*16777216 + t_a[i+1]::BIGINT*4096 + t_a[i+2]::BIGINT)),
+               list_distinct(list_transform(range(1, greatest(len(t_b)-2,0)+1), i -> t_b[i]::BIGINT*16777216 + t_b[i+1]::BIGINT*4096 + t_b[i+2]::BIGINT))))::DOUBLE shared,
+             len(list_distinct(list_transform(range(1, greatest(len(t_a)-2,0)+1), i -> t_a[i]::BIGINT*16777216 + t_a[i+1]::BIGINT*4096 + t_a[i+2]::BIGINT)))::DOUBLE n_a,
+             len(list_distinct(list_transform(range(1, greatest(len(t_b)-2,0)+1), i -> t_b[i]::BIGINT*16777216 + t_b[i+1]::BIGINT*4096 + t_b[i+2]::BIGINT)))::DOUBLE n_b
+             FROM cand)
+           SELECT id_a, id_b, round(shared / (n_a + n_b - shared), 6) AS jaccard
+           FROM v WHERE shared / (n_a + n_b - shared) >= 0.5"""
+      },
+
+      "q_simhash" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents WHERE doc_id < 50),
+           h AS (SELECT id, list_transform(toks, t -> (t::BIGINT * $sa + $sb) % $P) hs FROM ts)
+           SELECT id AS doc_id,
+             list_sum(list_transform(range(0, 32), bit ->
+               CASE WHEN list_sum(list_transform(hs, v -> ((v >> bit) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS sig
+           FROM h""",
+
+      "q_ann_topk" ->
+        """WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 10),
+           scored AS (SELECT q.query_id, e.vec_id item_id,
+             list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) cosine
+             FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+           ranked AS (SELECT query_id, item_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) rank
+             FROM scored)
+           SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 3""",
+
+      "q_near_dup_cosine" ->
+        """WITH n AS (SELECT vec_id id,
+             list_transform(embedding, x -> x::DOUBLE /
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) v
+           FROM embeddings WHERE vec_id < 200)
+           SELECT a.id id_a, b.id id_b,
+             round(list_dot_product(a.v, b.v), 6) AS cosine
+           FROM n a JOIN n b ON a.id < b.id
+           WHERE list_dot_product(a.v, b.v) >= 0.8""",
+
+      "q_langid" -> {
+        val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+        val structs = langs.map(l => s"{'score': ${hits(l)}, 'lang': '$l'}").mkString(", ")
+        s"""SELECT doc_id,
+           CASE WHEN best.score >= 1 THEN best.lang ELSE 'und' END AS lang_pred
+           FROM (SELECT doc_id, list_aggregate([$structs], 'max') best FROM documents)"""
+      },
+
+      "q_quality" ->
+        s"""SELECT doc_id, len(string_split(text,' ')) AS n_words,
+           round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE
+             / length(text), 6) AS punct_ratio,
+           round(len(list_filter(string_split(text,' '), w -> w IN ($stop)))::DOUBLE
+             / len(string_split(text,' ')), 6) AS stopword_ratio,
+           round(least(1.0, len(string_split(text,' '))::DOUBLE / 16.0)
+             * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+             * (1.0 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)),
+             6) AS quality_score
+           FROM documents""",
+
+      "q_token_counts" ->
+        """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
+           ceil(length(text)::DOUBLE / 4.0)::BIGINT AS bpe_est_tokens
+           FROM documents"""
+    )
+  }
 }

