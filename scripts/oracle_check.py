@@ -31,7 +31,7 @@ def canon(rows, cols):
 fails = 0
 for name, sql in sorted(oracle.items()):
     try:
-        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        files = glob.glob(f"{outdir}/{name}.parquet/*.parquet")
         t = pq.read_table(files[0]) if files else None
         spark_rows = [tuple(d.values()) for d in t.to_pylist()]
         spark_cols = t.schema.names

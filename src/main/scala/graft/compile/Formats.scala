@@ -23,10 +23,11 @@ object Formats {
   // time: HH:MM:SS(.frac)? + (Z | ±HH:MM); seconds may be 60 (leap second)
   private val timeRe = "(\\d{2}):(\\d{2}):(\\d{2})(\\.\\d+)?([Zz]|[+-]\\d{2}:\\d{2})"
 
-  /** Calendar-valid date (leap years included) — `to_date` returns null on
-    * invalid combinations, giving exact day-in-month semantics. */
+  /** Calendar-valid date (leap years included) — `try_to_timestamp` returns
+    * null on invalid combinations (ANSI-safe), giving exact day-in-month
+    * semantics. */
   private def validDate(c: Column): Column =
-    c.rlike(s"^$dateRe$$") && to_date(c, "yyyy-MM-dd").isNotNull
+    c.rlike(s"^$dateRe$$") && try_to_timestamp(c, lit("yyyy-MM-dd")).isNotNull
 
   private def validTime(c: Column): Column = {
     val h = substring(c, 1, 2).cast("int")

@@ -1,0 +1,255 @@
+package graft.run
+
+import graft.model.{SchemaDoc, SchemaParser}
+import graft.row.RowValidator
+import graft.snapshot.ManifestStore
+import graft.table.TableChecks
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+/** Pipeline configuration — which checks run and their thresholds.
+  *
+  * @param schemaJson     row-level constraint schema (JSON Schema subset)
+  * @param idCol          row identifier column (doc_id)
+  * @param partCol        logical partition column driving verdicts + resume
+  * @param uniqueKey      column whose values must be globally unique
+  * @param riKey          fact column checked against the dimension
+  * @param statsCols      columns to compute per-partition statistics for
+  * @param quantileCol    numeric column for per-partition quantiles (n_tok)
+  * @param driftNumCol    numeric column for the KS drift check vs baseline
+  * @param driftCatCol    categorical column for the chi-squared drift check
+  * @param ksThreshold    per-partition KS statistic above this fails drift
+  * @param chi2PMin       chi-squared p-value below this fails drift
+  * @param saltBuckets    salt fan-out for the uniqueness pre-aggregation
+  */
+final case class PipelineConfig(
+    schemaJson: String,
+    idCol: String = "doc_id",
+    partCol: String = "part",
+    uniqueKey: Option[String] = Some("doc_id"),
+    riKey: Option[String] = Some("source"),
+    statsCols: Seq[String] = Seq("doc_id", "n_tok", "source"),
+    quantileCol: Option[String] = Some("n_tok"),
+    driftNumCol: Option[String] = Some("n_tok"),
+    driftCatCol: Option[String] = Some("source"),
+    ksThreshold: Double = 0.1,
+    chi2PMin: Double = 0.001,
+    saltBuckets: Int = 64)
+
+final case class PipelineResult(violations: DataFrame, manifest: DataFrame)
+
+/** The full constraint-validation job (BASELINE.json north_rule): row-level
+  * keyword constraints + dataset-scope checks, emitting violation rows and a
+  * per-partition manifest of metrics + pass/fail verdicts, resumable from the
+  * manifest checkpoint.
+  *
+  * Execution shape — designed for 10^12 rows / 1000 executors, verified on
+  * local[n]:
+  *
+  *  1. ONE pass over the fact table computes, fused in the same scan:
+  *     row-level violations (a whole-stage-codegen'd Column DAG — the
+  *     reference's `ValidateSubSchema` recursion, `pkg/types/schema/
+  *     schema.go:796-819`, unrolled at compile time) and the RI anti-join
+  *     probe (broadcast build side — zero shuffle of facts).
+  *  2. Per-partition stats are ONE hash aggregation keyed by the partition
+  *     column (partial+final; constant-size sketch state per group: HLL++ for
+  *     distinct, GK for quantiles).
+  *  3. Uniqueness is the only key-shuffle: salted two-phase aggregation —
+  *     (key, salt) partial counts, then per-key re-aggregation — so a
+  *     pathological hot key splits across `saltBuckets` reducers first.
+  *     Offending keys (rare) broadcast back to attribute rows to partitions.
+  *  4. Drift reduces each side to its value domain (≤ vocab/len-bound rows)
+  *     BEFORE any window: per-partition KS windows only ever see
+  *     |domain| rows, never raw data.
+  *  5. Resume: input partitions anti-join completed manifest rows — a driver
+  *     metadata operation (partition list is small), so a restarted run
+  *     re-reads only pending partitions' files.
+  *
+  * No RDDs, no driver-side row loops; `collect()` touches only
+  * partition-count-sized or domain-sized aggregates.
+  */
+object ValidationPipeline {
+
+  /** Run all checks over `facts`. `dim` is the allowed-values dimension for
+    * the RI check; `baseline` the prior-snapshot table for drift. */
+  def run(spark: SparkSession, facts: DataFrame, dim: Option[DataFrame],
+          baseline: Option[DataFrame], cfg: PipelineConfig,
+          runId: String, manifest: Option[ManifestStore] = None): PipelineResult = {
+
+    val doc: SchemaDoc = SchemaParser.parse(cfg.schemaJson)
+    val part = col(cfg.partCol)
+
+    // ---------------- resume: drop partitions already completed ----------------
+    val pending: DataFrame = manifest match {
+      case Some(m) =>
+        val done = m.completedPartitions(runId)
+          .select(col("partition_key").as(cfg.partCol))
+        // tiny build side (≤ #partitions rows) → broadcast anti-join: the
+        // Iceberg-checkpoint resume semantics of the north rule.
+        facts.join(broadcast(done.withColumn(cfg.partCol,
+          col(cfg.partCol).cast(facts.schema(cfg.partCol).dataType))),
+          Seq(cfg.partCol), "left_anti")
+      case None => facts
+    }
+
+    // ---------------- 1. row-level constraint violations ----------------
+    val rowViol = RowValidator.withValidation(pending, doc)
+      .select(part, col(cfg.idCol), col("_violations"))
+      .filter(size(col("_violations")) > 0)
+      .select(part, col(cfg.idCol), explode(col("_violations")).as("v"))
+      .select(part, col(cfg.idCol).cast(StringType).as("doc_id"),
+        col("v.keyword").as("keyword"), col("v.keywordLocation").as("keywordLocation"),
+        col("v.instanceLocation").as("instanceLocation"), col("v.message").as("message"))
+
+    // ---------------- 2. referential integrity (broadcast anti-join) ----------------
+    val riViol: Option[DataFrame] = for { k <- cfg.riKey; d <- dim } yield
+      TableChecks.referentialViolations(pending, d, k, d.columns.head)
+        .select(part, col(cfg.idCol).cast(StringType).as("doc_id"),
+          lit("referential").as("keyword"),
+          lit(s"#/$$dataset/referential/$k").as("keywordLocation"),
+          concat(lit(s"#/$k="), coalesce(col(k), lit("null"))).as("instanceLocation"),
+          concat(lit(s"value of $k not in dimension: "), coalesce(col(k), lit("null")))
+            .as("message"))
+
+    // ---------------- 3. uniqueness (salted two-phase + broadcast-back) ----------------
+    val uniqViol: Option[DataFrame] = cfg.uniqueKey.map { k =>
+      val dups = TableChecks.duplicatesSalted(pending.filter(col(k).isNotNull),
+        k, cfg.saltBuckets)
+      // dup keys are rare (≤ violation rate) → broadcast them back over the
+      // facts to attribute every offending row to its partition.
+      pending.join(broadcast(dups), Seq(k))
+        .select(part, col(k).cast(StringType).as("doc_id"),
+          lit("uniqueness").as("keyword"),
+          lit(s"#/$$dataset/uniqueness/$k").as("keywordLocation"),
+          concat(lit(s"#/$k="), col(k).cast(StringType)).as("instanceLocation"),
+          concat(lit("key occurs "), col("cnt").cast(StringType), lit(" times"))
+            .as("message"))
+    }
+
+    val violations = (Seq(rowViol) ++ riViol.toSeq ++ uniqViol.toSeq)
+      .reduce(_ unionByName _)
+
+    // ---------------- 4. per-partition column stats (one hash agg) ----------------
+    val statAggs: Seq[Column] = cfg.statsCols.flatMap { c =>
+      val isNum = pending.schema(c).dataType.isInstanceOf[NumericType]
+      Seq(
+        avg(col(c).isNull.cast(DoubleType)).as(s"null_rate_$c"),
+        approx_count_distinct(col(c), 0.02).cast(DoubleType).as(s"approx_distinct_$c")) ++
+        (if (isNum) Seq(min(col(c)).cast(DoubleType).as(s"min_$c"),
+                        max(col(c)).cast(DoubleType).as(s"max_$c"))
+         else Seq.empty)
+    } ++ cfg.quantileCol.toSeq.flatMap { qc =>
+      Seq(0.5, 0.95, 0.99).zip(Seq("p50", "p95", "p99")).map { case (p, n) =>
+        percentile_approx(col(qc), lit(p), lit(10000)).cast(DoubleType).as(s"${n}_$qc")
+      }
+    }
+    val stats = pending.groupBy(part)
+      .agg(count(lit(1)).as("row_count"), statAggs: _*)
+
+    // ---------------- 5. drift vs baseline (domain-sized windows) ----------------
+    // KS on the numeric column: per-partition empirical CDF vs the GLOBAL
+    // baseline CDF. Both sides reduce to per-value counts first.
+    val ksByPart: Option[DataFrame] = for { c <- cfg.driftNumCol; b <- baseline } yield {
+      val cur = pending.groupBy(part, col(c).cast(DoubleType).as("v"))
+        .agg(count(lit(1)).as("ca"))
+      val base = b.groupBy(col(c).cast(DoubleType).as("v"))
+        .agg(count(lit(1)).as("cb"))
+      // Every partition's CDF must step at every value of the MERGED domain
+      // (a baseline value absent from one partition still moves cdf_b there),
+      // so build the parts × domain grid — both sides are post-aggregation
+      // and domain-bounded (n_tok ≤ maxItems), never raw rows.
+      val dom = cur.select("v").union(base.select("v")).distinct()
+      val parts = cur.select(part).distinct()
+      val grid = parts.crossJoin(broadcast(dom))
+      val domain = grid
+        .join(cur, Seq(cfg.partCol, "v"), "left_outer")
+        .join(broadcast(base), Seq("v"), "left_outer")
+        .na.fill(0L, Seq("ca", "cb"))
+      val w = Window.partitionBy(part).orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val na = sum("ca").over(Window.partitionBy(part))
+      val nb = sum("cb").over(Window.partitionBy(part))
+      domain
+        .withColumn("cdf_a", sum("ca").over(w) / na)
+        .withColumn("cdf_b", sum("cb").over(w) / nb)
+        .groupBy(part).agg(max(abs(col("cdf_a") - col("cdf_b"))).as("ks_stat"))
+    }
+
+    // chi-squared on the categorical column per partition vs baseline freqs.
+    val chi2ByPart: Option[DataFrame] = for { c <- cfg.driftCatCol; b <- baseline } yield {
+      val o = pending.groupBy(part, col(c).as("k")).agg(count(lit(1)).as("o"))
+      val e = b.groupBy(col(c).as("k")).agg(count(lit(1)).as("eRaw"))
+      val eTot = e.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
+      val joined = o.join(broadcast(e), Seq("k"), "left_outer")
+        .na.fill(0L, Seq("eRaw"))
+      val oTot = sum("o").over(Window.partitionBy(part))
+      joined
+        .withColumn("e", (when(col("eRaw") === 0L, 0.5)
+          .otherwise(col("eRaw").cast(DoubleType)) / eTot) * oTot)
+        .groupBy(part)
+        .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2_stat"),
+             count(lit(1)).as("chi2_categories"))
+    }
+
+    // ---------------- 6. verdicts + manifest ----------------
+    val violByPart = violations.groupBy(part)
+      .agg(count(lit(1)).as("violation_count"))
+
+    var m = stats.join(violByPart, Seq(cfg.partCol), "left_outer")
+      .na.fill(0L, Seq("violation_count"))
+    ksByPart.foreach(k => m = m.join(k, Seq(cfg.partCol), "left_outer"))
+    chi2ByPart.foreach(c => m = m.join(c, Seq(cfg.partCol), "left_outer"))
+
+    val metricCols = m.columns.filterNot(c =>
+      c == cfg.partCol || c == "row_count" || c == "violation_count")
+    val chi2P = if (m.columns.contains("chi2_stat"))
+      udf((stat: java.lang.Double, k: java.lang.Long) =>
+        if (stat == null || k == null) null
+        else java.lang.Double.valueOf(graft.table.GammaMath
+          .regularizedGammaQ(math.max(1L, k - 1) / 2.0, stat / 2.0)))
+        .apply(col("chi2_stat"), col("chi2_categories"))
+    else lit(null).cast(DoubleType)
+
+    val verdict: Column = {
+      var v = col("violation_count") === 0L
+      if (m.columns.contains("ks_stat"))
+        v = v && coalesce(col("ks_stat") <= cfg.ksThreshold, lit(true))
+      if (m.columns.contains("chi2_stat"))
+        v = v && coalesce(col("chi2_p") >= cfg.chi2PMin, lit(true))
+      v
+    }
+
+    val manifestRows = m
+      .withColumn("chi2_p", chi2P)
+      .withColumn("run_id", lit(runId))
+      .withColumn("partition_key", part.cast(StringType))
+      .withColumn("input_fingerprint",
+        concat(lit("part="), part.cast(StringType), lit("/rows="),
+          col("row_count").cast(StringType)))
+      .withColumn("verdict", verdict)
+      .withColumn("metrics", map_from_arrays(
+        array((metricCols :+ "chi2_p").map(lit): _*),
+        array((metricCols :+ "chi2_p").map(c => col(c).cast(DoubleType)): _*)))
+      .withColumn("status", lit("completed"))
+      .withColumn("committed_at", current_timestamp())
+      .select("run_id", "partition_key", "input_fingerprint", "row_count",
+        "violation_count", "verdict", "metrics", "status", "committed_at")
+
+    PipelineResult(violations, manifestRows)
+  }
+
+  /** Run + persist: violations parquet (partitioned by the partition column)
+    * and manifest append — the checkpoint commit. */
+  def runAndCommit(spark: SparkSession, facts: DataFrame, dim: Option[DataFrame],
+                   baseline: Option[DataFrame], cfg: PipelineConfig, runId: String,
+                   outDir: String): PipelineResult = {
+    val store = new ManifestStore(spark, outDir)
+    val r = run(spark, facts, dim, baseline, cfg, runId, Some(store))
+    r.violations.write.mode("append")
+      .partitionBy(cfg.partCol).parquet(s"$outDir/violations")
+    store.append(r.manifest)
+    r
+  }
+}

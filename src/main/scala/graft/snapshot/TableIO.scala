@@ -1,0 +1,106 @@
+package graft.snapshot
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.hadoop.fs.Path
+
+/** Iceberg-style snapshot semantics emulated over partitioned Parquet
+  * (SURVEY §7.4.6 — no Iceberg jar ships in this sandbox; verified 0/287 jars).
+  *
+  * Layout of a snapshot table rooted at `root`:
+  * {{{
+  *   root/snap=<id>/part=<k>/ ... .parquet  immutable data files per snapshot
+  *   root/_commits/<id>                    zero-byte commit marker (atomic rename)
+  * }}}
+  *
+  * A snapshot is visible iff its commit marker exists — a crashed writer leaves
+  * data files but no marker, so readers never observe partial snapshots. This
+  * mirrors Iceberg's metadata-pointer swap at the fidelity the engine needs:
+  * snapshot-id-addressed immutable reads + append-only commits. The interface
+  * is deliberately small so a real Iceberg catalog can slot in unchanged.
+  */
+trait TableIO {
+  /** Latest committed snapshot id, if any. */
+  def currentSnapshot(table: String): Option[Long]
+  /** Read a specific snapshot (or the latest). */
+  def read(table: String, snapshotId: Option[Long] = None): DataFrame
+  /** Write a new snapshot; returns its id. `df` must carry `partitionCol`. */
+  def commit(table: String, df: DataFrame, partitionCol: String): Long
+}
+
+final class ParquetSnapshotStore(spark: SparkSession, root: String) extends TableIO {
+
+  private def tableRoot(table: String) = new Path(root, table)
+  private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def committedIds(table: String): Seq[Long] = {
+    val commits = new Path(tableRoot(table), "_commits")
+    val f = fs(commits)
+    if (!f.exists(commits)) Seq.empty
+    else f.listStatus(commits).toSeq.map(_.getPath.getName.toLong).sorted
+  }
+
+  override def currentSnapshot(table: String): Option[Long] =
+    committedIds(table).lastOption
+
+  override def read(table: String, snapshotId: Option[Long]): DataFrame = {
+    val id = snapshotId.orElse(currentSnapshot(table))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot in $table"))
+    require(committedIds(table).contains(id), s"snapshot $id of $table was never committed")
+    spark.read.parquet(new Path(tableRoot(table), s"snap=$id").toString)
+  }
+
+  override def commit(table: String, df: DataFrame, partitionCol: String): Long = {
+    val id = currentSnapshot(table).getOrElse(0L) + 1L
+    val dataPath = new Path(tableRoot(table), s"snap=$id")
+    df.write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partitionCol).parquet(dataPath.toString)
+    // commit marker last — readers only see fully-written snapshots
+    val marker = new Path(new Path(tableRoot(table), "_commits"), id.toString)
+    val f = fs(marker)
+    f.mkdirs(marker.getParent)
+    val out = f.create(marker, false)
+    out.close()
+    id
+  }
+}
+
+/** Append-only per-partition run manifest (FIXTURES.md §5) — the engine's
+  * lineage + checkpoint record. Each validated partition commits exactly one
+  * row per run; resume anti-joins pending partitions against completed rows.
+  *
+  * Physically: one small parquet directory per append under
+  * `root/_manifest/batch=<uuid>` — append never rewrites, matching Iceberg's
+  * append-only commit discipline.
+  */
+final class ManifestStore(spark: SparkSession, root: String) {
+
+  private val manifestDir = new Path(root, "_manifest")
+  private def fs = manifestDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def append(rows: DataFrame): Unit = {
+    val batch = java.util.UUID.randomUUID().toString
+    rows.write.mode(SaveMode.ErrorIfExists)
+      .parquet(new Path(manifestDir, s"batch=$batch").toString)
+  }
+
+  def isEmpty: Boolean =
+    !fs.exists(manifestDir) || fs.listStatus(manifestDir).isEmpty
+
+  def readAll(): DataFrame = {
+    require(!isEmpty, s"manifest at $manifestDir is empty")
+    spark.read.option("basePath", manifestDir.toString)
+      .parquet(new Path(manifestDir, "batch=*").toString)
+  }
+
+  /** Partitions already completed for `runId` (tiny: one row per partition). */
+  def completedPartitions(runId: String): DataFrame = {
+    if (isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("partition_key", StringType))))
+    } else readAll()
+      .filter(col("run_id") === runId && col("status") === "completed")
+      .select("partition_key").distinct()
+  }
+}

@@ -46,14 +46,10 @@ object TokenSeqs {
     val base = if (numPartitions > 0) spark.range(0, rows, 1, numPartitions)
                else spark.range(rows)
 
-    def mix(i: Column, salt: Int): Column = {
-      // splitmix64 finalizer on (id * prime + salt + seed)
-      val z0 = (i * lit(0x9E3779B97F4A7C15L)) + lit(seed * 1442695040888963407L + salt)
-      val z1 = z0.bitwiseXOR(shiftrightunsigned(z0, 30)) * lit(0xBF58476D1CE4E5B9L)
-      val z2 = z1.bitwiseXOR(shiftrightunsigned(z1, 27)) * lit(0x94D049BB133111EBL)
-      z2.bitwiseXOR(shiftrightunsigned(z2, 31))
-    }
-    def mixPos(i: Column, salt: Int): Column = abs(mix(i, salt))
+    // xxhash64 avalanche of (id, salt, seed) — codegen'd, ANSI-safe (no
+    // checked-overflow multiplies), deterministic across partitionings.
+    def mix(i: Column, salt: Int): Column = xxhash64(i, lit(salt), lit(seed))
+    def mixPos(i: Column, salt: Int): Column = mix(i, salt).bitwiseAND(lit(Long.MaxValue))
 
     val id = col("id")
     // violation selector: 0 = clean; 1..7 = violation kinds

@@ -1,0 +1,98 @@
+package graft
+
+import graft.compile.CompileOpts
+import graft.row.RowValidator
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Runs the translated conformance corpus (FIXTURES.md §6) — the same
+  * format as the official JSON-Schema-Test-Suite the reference vendors
+  * (`internal/cmd/testgen/testgen.go:21-44`): each case = {schema, tests:
+  * [{data, valid}]}. Every instance becomes a one-row DataFrame typed from
+  * the instance shape; `valid` ⇔ zero violations under conformance
+  * semantics (nullIsAbsent = false).
+  *
+  * The `valid` flags encode REFERENCE behavior, including its deliberate
+  * deviations from spec (numeric keywords on parseable strings,
+  * `internal/validator/validator.go:1275-1281`).
+  */
+class ConformanceSpec extends SparkSpec {
+
+  test("conformance corpus") {
+    val text = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/conformance/cases.json"), "UTF-8").mkString
+    val JArray(groups) = JsonMethods.parse(text): @unchecked
+
+    val failures = scala.collection.mutable.Buffer[String]()
+    var total = 0
+    groups.foreach { g =>
+      val desc = (g \ "description").asInstanceOf[JString].s
+      val schemaJson = JsonMethods.compact(JsonMethods.render(g \ "schema"))
+      val JArray(tests) = (g \ "tests"): @unchecked
+      tests.foreach { t =>
+        val tdesc = (t \ "description").asInstanceOf[JString].s
+        val expected = (t \ "valid").asInstanceOf[JBool].value
+        total += 1
+        try {
+          val df = JsonInstances.toDf(spark, t \ "data")
+          val got = df.select(RowValidator.validColumn(df, schemaJson,
+            opts = CompileOpts(nullIsAbsent = false)).as("ok"))
+            .collect()(0).getBoolean(0)
+          if (got != expected)
+            failures += s"[$desc :: $tdesc] expected valid=$expected got=$got"
+        } catch {
+          case e: Exception =>
+            failures += s"[$desc :: $tdesc] threw ${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
+    }
+    assert(failures.isEmpty,
+      s"\n${failures.size}/$total conformance failures:\n${failures.mkString("\n")}")
+    info(s"$total conformance cases passed")
+  }
+}
+
+/** Builds a one-row, one-column (`value`) DataFrame whose type is inferred
+  * from a JSON instance — the test-side analogue of the reference decoding an
+  * instance with `json.Unmarshal` (`pkg/jsonschema/jsonschema.go:17-24`).
+  * Numbers become DoubleType (JSON numbers decode to float64 in the
+  * reference). Arrays must be homogeneous (Spark arrays are). */
+object JsonInstances {
+
+  def toDf(spark: SparkSession, data: JValue): DataFrame = {
+    val (dt, v) = convert(data)
+    val schema = StructType(Seq(StructField("value", dt, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(Row(v)), schema)
+  }
+
+  /** JValue → (DataType, Catalyst external value). */
+  def convert(v: JValue): (DataType, Any) = v match {
+    case JNull | JNothing => (NullType, null)
+    case JBool(b) => (BooleanType, b)
+    case JString(s) => (StringType, s)
+    case JInt(i) => (DoubleType, i.toDouble)
+    case JLong(l) => (DoubleType, l.toDouble)
+    case JDouble(d) => (DoubleType, d)
+    case JDecimal(d) => (DoubleType, d.toDouble)
+    case JArray(items) =>
+      val converted = items.map(convert)
+      val elemType = converted.map(_._1).filterNot(_ == NullType) match {
+        case Nil => StringType
+        case ts =>
+          require(ts.distinct.size == 1,
+            s"heterogeneous array not representable in Spark: ${ts.distinct}")
+          ts.head
+      }
+      (ArrayType(elemType, containsNull = true), converted.map(_._2))
+    case o: JObject =>
+      val fields = o.obj.map { case (k, fv) =>
+        val (dt, cv) = convert(fv)
+        (StructField(k, dt, nullable = true), cv)
+      }
+      (StructType(fields.map(_._1)), Row(fields.map(_._2): _*))
+    case other => throw new IllegalArgumentException(s"unsupported instance: $other")
+  }
+}
