@@ -110,20 +110,224 @@ object ConstraintCompiler {
     val propsK = kws.collectFirst { case p: PropertiesK => p }
     val patPropsK = kws.collectFirst { case p: PatternPropertiesK => p }
     val addPropsK = kws.collectFirst { case p: AdditionalPropertiesK => p }
+    val unevalPropsK = kws.collectFirst { case UnevaluatedPropertiesK(x) => x }
+    val unevalItemsK = kws.collectFirst { case UnevaluatedItemsK(x) => x }
 
     val grouped: Seq[Compiled] =
       compileConditional(ifS, thenS, elseS, ctx, target, dt, kwLoc, instLoc).toSeq ++
       compileContains(containsS, minContains, maxContains, ctx, target, dt, kwLoc, instLoc).toSeq ++
       compileItems(prefixItems, itemsS, ctx, target, dt, kwLoc, instLoc).toSeq ++
-      compileObjectApplicators(propsK, patPropsK, addPropsK, ctx, target, dt, kwLoc, instLoc)
+      compileObjectApplicators(propsK, patPropsK, addPropsK, ctx, target, dt, kwLoc, instLoc) ++
+      unevalPropsK.toSeq.map(sub =>
+        compileUnevaluatedProps(s, sub, ctx, target, dt, kwLoc, instLoc)) ++
+      unevalItemsK.toSeq.map(sub =>
+        compileUnevaluatedItems(s, sub, ctx, target, dt, kwLoc, instLoc))
 
     val singles: Seq[Compiled] = kws.flatMap {
       case _: IfK | _: ThenK | _: ElseK | _: ContainsK | _: MinContainsK |
            _: MaxContainsK | _: PrefixItemsK | _: ItemsK | _: PropertiesK |
-           _: PatternPropertiesK | _: AdditionalPropertiesK => None
+           _: PatternPropertiesK | _: AdditionalPropertiesK |
+           _: UnevaluatedPropertiesK | _: UnevaluatedItemsK => None
       case k => compileKeyword(k, ctx, target, dt, kwLoc, instLoc)
     }
     and(grouped ++ singles)
+  }
+
+  // ------------------------------------------------------------------
+  // unevaluatedProperties / unevaluatedItems — the reference's runtime
+  // annotation flow (Notes across in-place applicators, validator.go:647-750)
+  // resolved at compile time into per-row conditional coverage (SURVEY §7.4.1).
+
+  /** Whether a field is evaluated by `node` or any of its in-place
+    * applicators: `None` = statically always, `Some(cond)` = when `cond`. */
+  private type Coverage = Map[String, Option[Column]]
+
+  private def mergeCov(a: Coverage, b: Coverage): Coverage =
+    (a.keySet ++ b.keySet).iterator.map { k =>
+      k -> ((a.get(k), b.get(k)) match {
+        case (Some(None), _) | (_, Some(None)) => None
+        case (Some(Some(x)), Some(Some(y))) => Some(x || y)
+        case (Some(v), None) => v
+        case (None, Some(v)) => v
+        case (None, None) => Some(lit(false))
+      })
+    }.toMap
+
+  private def condCov(c: Coverage, cond: Column): Coverage =
+    c.map { case (k, v) => k -> Some(v.map(_ && cond).getOrElse(cond)) }
+
+  /** Field-evaluation coverage of `node` against StructType fields. Branch
+    * contributions are conditioned on branch validity (annotations flow only
+    * from passing schemas, validator.go:62-121). */
+  private def propCoverage(node: SchemaNode, ctx: Ctx, target: Column,
+                           st: StructType): Coverage = node match {
+    case BoolSchema(_) => Map.empty
+    case ObjSchema(kws) =>
+      val names = st.fieldNames.toSeq
+      def always(ns: Seq[String]): Coverage = ns.map(_ -> (None: Option[Column])).toMap
+      kws.foldLeft(Map.empty: Coverage) { (cov, k) =>
+        val add: Coverage = k match {
+          case PropertiesK(props) => always(props.map(_._1).filter(names.contains))
+          case PatternPropertiesK(pats) =>
+            always(pats.flatMap { case (p, _) =>
+              val re = java.util.regex.Pattern.compile(p)
+              names.filter(n => re.matcher(n).find())
+            })
+          case _: AdditionalPropertiesK | _: UnevaluatedPropertiesK => always(names)
+          case AllOfK(ss) => ss.map(branchCov(_, ctx, target, st)).reduceOption(mergeCov)
+            .getOrElse(Map.empty)
+          case AnyOfK(ss) => ss.map(branchCov(_, ctx, target, st)).reduceOption(mergeCov)
+            .getOrElse(Map.empty)
+          case OneOfK(ss) => ss.map(branchCov(_, ctx, target, st)).reduceOption(mergeCov)
+            .getOrElse(Map.empty)
+          case IfK(sub) =>
+            val cond = quietValid(sub, ctx, target, st)
+            condCov(propCoverage(sub, ctx, target, st), cond)
+          case ThenK(sub) =>
+            val ifCond = kws.collectFirst { case IfK(i) => quietValid(i, ctx, target, st) }
+            ifCond.map(c => condCov(branchCov(sub, ctx, target, st), c)).getOrElse(Map.empty)
+          case ElseK(sub) =>
+            val ifCond = kws.collectFirst { case IfK(i) => quietValid(i, ctx, target, st) }
+            ifCond.map(c => condCov(branchCov(sub, ctx, target, st), !c)).getOrElse(Map.empty)
+          case DependentSchemasK(deps) =>
+            deps.filter(d => st.fieldNames.contains(d._1)).map { case (key, sub) =>
+              condCov(branchCov(sub, ctx, target, st), target.getField(key).isNotNull)
+            }.reduceOption(mergeCov).getOrElse(Map.empty)
+          case RefK(ref) if !ctx.refStack.contains(ref) =>
+            propCoverage(SchemaParser.parseNode(ctx.doc.resolveRef(ref)),
+              ctx.copy(refStack = ctx.refStack + ref), target, st)
+          case DynamicRefK(ref) if !ctx.refStack.contains(ref) =>
+            propCoverage(SchemaParser.parseNode(ctx.doc.resolveDynamicRef(ref)),
+              ctx.copy(refStack = ctx.refStack + ref), target, st)
+          case _ => Map.empty
+        }
+        mergeCov(cov, add)
+      }
+  }
+
+  /** Coverage of an applicator branch: its own coverage gated on its verdict. */
+  private def branchCov(sub: SchemaNode, ctx: Ctx, target: Column,
+                        st: StructType): Coverage =
+    condCov(propCoverage(sub, ctx, target, st), quietValid(sub, ctx, target, st))
+
+  /** Validity predicate of a subschema with throwaway locations. */
+  private def quietValid(sub: SchemaNode, ctx: Ctx, target: Column, dt: DataType): Column =
+    compileNode(sub, ctx, target, dt, "#", lit("#")).valid
+
+  private def compileUnevaluatedProps(s: ObjSchema, sub: SchemaNode, ctx: Ctx,
+      target: Column, dt: DataType, kwLoc: String, instLoc: Column): Compiled = dt match {
+    case st: StructType =>
+      // coverage from siblings + in-place applicators, excluding this keyword
+      val selfless = ObjSchema(s.keywords.filterNot(_.isInstanceOf[UnevaluatedPropertiesK]))
+      val cov = propCoverage(selfless, ctx, target, st)
+      val checks = st.fields.toSeq.flatMap { f =>
+        cov.get(f.name) match {
+          case Some(None) => None // statically always evaluated
+          case covOpt =>
+            val covered = covOpt.flatten.getOrElse(lit(false))
+            val child = target.getField(f.name)
+            val inner = compileNode(sub, ctx, child, f.dataType,
+              s"$kwLoc/unevaluatedProperties",
+              concat(instLoc, lit(s"/${escapePtr(f.name)}")))
+            val viol =
+              if (isFalseSchema(sub))
+                mkViolation("unevaluatedProperties", s"$kwLoc/unevaluatedProperties",
+                  concat(instLoc, lit(s"/${escapePtr(f.name)}")),
+                  lit(s"unevaluated property \"${f.name}\""))
+              else inner.violations
+            Some(Compiled(child.isNull || covered || inner.valid,
+              when(child.isNull || covered || inner.valid, emptyViolations).otherwise(viol)))
+        }
+      }
+      and(checks)
+    case MapType(StringType, vt, _) =>
+      // dynamic keys: coverage from this schema's own properties /
+      // patternProperties / additionalProperties (nested-applicator coverage
+      // over open maps is out of scope — documented SURVEY §7.4.1)
+      val props = s.keywords.collectFirst { case PropertiesK(p) => p }.getOrElse(Vector.empty)
+      val pats = s.keywords.collectFirst { case PatternPropertiesK(p) => p }.getOrElse(Vector.empty)
+      val hasAdd = s.keywords.exists(_.isInstanceOf[AdditionalPropertiesK])
+      if (hasAdd) Compiled(lit(true), emptyViolations)
+      else {
+        val covered = props.map(_._1)
+        val uncov = filter(map_keys(target), k =>
+          !k.isin(covered: _*) &&
+            !pats.map(_._1).foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
+        val bad = filter(uncov, k =>
+          !compileNode(sub, ctx, element_at(target, k), vt,
+            s"$kwLoc/unevaluatedProperties", instLoc).valid)
+        simple(target.isNull || size(bad) === 0, "unevaluatedProperties",
+          s"$kwLoc/unevaluatedProperties", instLoc,
+          concat(lit("unevaluated properties: "), array_join(bad, ",")))
+      }
+    case _ => Compiled(lit(true), emptyViolations)
+  }
+
+  /** Item-index coverage: covered prefix length, items-covers-all flag, and
+    * contains predicates whose matched elements count as evaluated
+    * (validator.go:647-710; contains note recording :436). */
+  private case class ItemCov(prefixLen: Column, all: Column,
+                             containsPreds: Vector[(Column, SchemaNode)])
+
+  private def itemCoverage(node: SchemaNode, ctx: Ctx, target: Column,
+                           dt: ArrayType): ItemCov = node match {
+    case BoolSchema(_) => ItemCov(lit(0), lit(false), Vector.empty)
+    case ObjSchema(kws) =>
+      kws.foldLeft(ItemCov(lit(0), lit(false), Vector.empty)) { (cov, k) =>
+        k match {
+          case PrefixItemsK(ss) => cov.copy(prefixLen = greatest(cov.prefixLen, lit(ss.size)))
+          case _: ItemsK | _: UnevaluatedItemsK => cov.copy(all = lit(true))
+          case ContainsK(sub) => cov.copy(containsPreds = cov.containsPreds :+ (lit(true), sub))
+          case AllOfK(ss) => ss.foldLeft(cov)((c, s) => mergeItemCov(c,
+            condItemCov(itemCoverage(s, ctx, target, dt), quietValid(s, ctx, target, dt))))
+          case AnyOfK(ss) => ss.foldLeft(cov)((c, s) => mergeItemCov(c,
+            condItemCov(itemCoverage(s, ctx, target, dt), quietValid(s, ctx, target, dt))))
+          case OneOfK(ss) => ss.foldLeft(cov)((c, s) => mergeItemCov(c,
+            condItemCov(itemCoverage(s, ctx, target, dt), quietValid(s, ctx, target, dt))))
+          case IfK(sub) => mergeItemCov(cov,
+            condItemCov(itemCoverage(sub, ctx, target, dt), quietValid(sub, ctx, target, dt)))
+          case ThenK(sub) =>
+            val ifCond = kws.collectFirst { case IfK(i) => quietValid(i, ctx, target, dt) }
+            ifCond.map(c => mergeItemCov(cov, condItemCov(condItemCov(
+              itemCoverage(sub, ctx, target, dt), quietValid(sub, ctx, target, dt)), c)))
+              .getOrElse(cov)
+          case ElseK(sub) =>
+            val ifCond = kws.collectFirst { case IfK(i) => quietValid(i, ctx, target, dt) }
+            ifCond.map(c => mergeItemCov(cov, condItemCov(condItemCov(
+              itemCoverage(sub, ctx, target, dt), quietValid(sub, ctx, target, dt)), !c)))
+              .getOrElse(cov)
+          case RefK(ref) if !ctx.refStack.contains(ref) =>
+            mergeItemCov(cov, itemCoverage(SchemaParser.parseNode(ctx.doc.resolveRef(ref)),
+              ctx.copy(refStack = ctx.refStack + ref), target, dt))
+          case _ => cov
+        }
+      }
+  }
+
+  private def mergeItemCov(a: ItemCov, b: ItemCov): ItemCov =
+    ItemCov(greatest(a.prefixLen, b.prefixLen), a.all || b.all,
+      a.containsPreds ++ b.containsPreds)
+
+  private def condItemCov(c: ItemCov, cond: Column): ItemCov =
+    ItemCov(when(cond, c.prefixLen).otherwise(lit(0)), c.all && cond,
+      c.containsPreds.map { case (cc, s) => (cc && cond, s) })
+
+  private def compileUnevaluatedItems(s: ObjSchema, sub: SchemaNode, ctx: Ctx,
+      target: Column, dt: DataType, kwLoc: String, instLoc: Column): Compiled = dt match {
+    case at @ ArrayType(et, _) =>
+      val selfless = ObjSchema(s.keywords.filterNot(_.isInstanceOf[UnevaluatedItemsK]))
+      val cov = itemCoverage(selfless, ctx, target, at)
+      def elemCovered(x: Column, i: Column): Column =
+        cov.all || i < cov.prefixLen ||
+          cov.containsPreds.map { case (cond, cs) =>
+            cond && quietValid(cs, ctx, x, et)
+          }.foldLeft(lit(false))(_ || _)
+      val badCount = size(filter(target, (x, i) =>
+        !elemCovered(x, i) && !quietValid(sub, ctx, x, et)))
+      simple(target.isNull || badCount === 0, "unevaluatedItems",
+        s"$kwLoc/unevaluatedItems", instLoc,
+        concat(badCount.cast(StringType), lit(" array items were not evaluated")))
+    case _ => Compiled(lit(true), emptyViolations)
   }
 
   // ------------------------------------------------------------------
@@ -542,6 +746,16 @@ object ConstraintCompiler {
         val sub = SchemaParser.parseNode(raw)
         Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
           target, dt, loc("$ref"), instLoc))
+
+      case DynamicRefK(ref) =>
+        // static outermost-anchor resolution (exact for non-recursive schemas;
+        // SURVEY §7.4.2); cycles without data descent rejected like $ref.
+        if (ctx.refStack.contains(ref))
+          throw new IllegalArgumentException(
+            s"unsupported: \\$$dynamicRef cycle without data descent at $ref")
+        val sub = SchemaParser.parseNode(ctx.doc.resolveDynamicRef(ref))
+        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
+          target, dt, loc("$dynamicRef"), instLoc))
 
       case _: DefaultK | _: AnnotationK | _: FormatK => None
       case other =>

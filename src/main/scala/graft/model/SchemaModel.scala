@@ -73,17 +73,33 @@ final case class IfK(schema: SchemaNode)                extends Keyword { val na
 final case class ThenK(schema: SchemaNode)              extends Keyword { val name = "then" }
 final case class ElseK(schema: SchemaNode)              extends Keyword { val name = "else" }
 
+/** Annotation-driven residue keywords (validator.go:647-750): apply to
+  * properties/items not evaluated by any sibling or in-place applicator.
+  * The reference tracks evaluation through runtime `Notes`; our compiler
+  * resolves coverage statically into per-row conditional predicates
+  * (SURVEY §7.4.1). */
+final case class UnevaluatedPropertiesK(schema: SchemaNode) extends Keyword { val name = "unevaluatedProperties" }
+final case class UnevaluatedItemsK(schema: SchemaNode)      extends Keyword { val name = "unevaluatedItems" }
+
 /** Symbolic reference; resolved at compile time (lazy inlining). */
 final case class RefK(ref: String)                      extends Keyword { val name = "$ref" }
+
+/** `$dynamicRef` — compile-time approximation resolving to the OUTERMOST
+  * `$dynamicAnchor` in document order (exact for non-recursive schemas,
+  * mirroring the outermost-anchor-wins rule, pkg/draft202012/validate.go:138-142;
+  * SURVEY §7.4.2 documents the limitation for runtime-scoped recursion). */
+final case class DynamicRefK(ref: String)               extends Keyword { val name = "$dynamicRef" }
 
 /** Annotation-only keywords retained as metadata (keywords.go:337-412) +
   * unknown keywords retained always-valid (schema.go:521-532). */
 final case class AnnotationK(name: String, value: JValue) extends Keyword
 
 /** A parsed schema document: root node + raw tree for `$ref`/`$defs`
-  * resolution + `$anchor`/`$id` symbol table. */
+  * resolution + `$anchor`/`$dynamicAnchor` symbol tables (document-order
+  * first-wins, so the outermost anchor shadows inner ones). */
 final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
-                           anchors: Map[String, JValue]) {
+                           anchors: Map[String, JValue],
+                           dynamicAnchors: Map[String, JValue] = Map.empty) {
 
   /** Resolve a `$ref` string to the referenced raw subtree.
     * Supports "#", "#/json/pointer", "#anchor". Remote refs unsupported
@@ -97,6 +113,14 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
     case r => anchors.getOrElse(r,
       throw new IllegalArgumentException(s"unresolvable non-local \\$$ref: $r"))
   }
+
+  /** `$dynamicRef` resolution: outermost `$dynamicAnchor` first (the static
+    * approximation of the runtime anchor stack, validate.go:84-182), falling
+    * back to plain `$ref` semantics when no dynamic anchor matches. */
+  def resolveDynamicRef(ref: String): JValue = {
+    val name = if (ref.startsWith("#")) ref.drop(1) else ref
+    dynamicAnchors.get(name).getOrElse(resolveRef(ref))
+  }
 }
 
 /** JSON Schema text → typed IR. Mirrors the reference's
@@ -107,20 +131,24 @@ object SchemaParser {
   def parse(jsonText: String): SchemaDoc = parseJValue(JsonMethods.parse(jsonText))
 
   def parseJValue(raw: JValue): SchemaDoc = {
-    val anchors = collectAnchors(raw, Map.empty)
-    SchemaDoc(parseNode(raw), raw, anchors)
+    val anchors = collectAnchors(raw, "$anchor", Map.empty)
+    val dynAnchors = collectAnchors(raw, "$dynamicAnchor", Map.empty)
+    SchemaDoc(parseNode(raw), raw, anchors, dynAnchors)
   }
 
-  /** Walk the raw tree and collect `$anchor` (and top-level `$id`-relative
-    * anchors are out of scope — single-document resolution only). */
-  private def collectAnchors(v: JValue, acc: Map[String, JValue]): Map[String, JValue] = v match {
+  /** Pre-order walk collecting `$anchor` / `$dynamicAnchor` names. First
+    * occurrence wins, so the OUTERMOST anchor shadows inner ones — the static
+    * analogue of the dynamic-scope rule (validate.go:138-142). Top-level
+    * `$id`-relative anchors are out of scope — single-document resolution. */
+  private def collectAnchors(v: JValue, key: String,
+                             acc: Map[String, JValue]): Map[String, JValue] = v match {
     case o: JObject =>
-      val here = o \ "$anchor" match {
-        case JString(a) => acc + (a -> o)
+      val here = o \ key match {
+        case JString(a) if !acc.contains(a) => acc + (a -> o)
         case _ => acc
       }
-      o.obj.foldLeft(here) { case (m, (_, child)) => collectAnchors(child, m) }
-    case JArray(items) => items.foldLeft(acc)((m, c) => collectAnchors(c, m))
+      o.obj.foldLeft(here) { case (m, (_, child)) => collectAnchors(child, key, m) }
+    case JArray(items) => items.foldLeft(acc)((m, c) => collectAnchors(c, key, m))
     case _ => acc
   }
 
@@ -235,6 +263,9 @@ object SchemaParser {
     case "then" => ThenK(parseNode(v))
     case "else" => ElseK(parseNode(v))
     case "$ref" => RefK(str(v))
+    case "$dynamicRef" => DynamicRefK(str(v))
+    case "unevaluatedProperties" => UnevaluatedPropertiesK(parseNode(v))
+    case "unevaluatedItems" => UnevaluatedItemsK(parseNode(v))
     // identifier / annotation keywords: always valid (keywords.go:20-75,337-412)
     case other => AnnotationK(other, v)
   })
