@@ -140,13 +140,19 @@ object ValidationPipeline {
         (if (isNum) Seq(min(col(c)).cast(DoubleType).as(s"min_$c"),
                         max(col(c)).cast(DoubleType).as(s"max_$c"))
          else Seq.empty)
-    } ++ cfg.quantileCol.toSeq.flatMap { qc =>
-      Seq(0.5, 0.95, 0.99).zip(Seq("p50", "p95", "p99")).map { case (p, n) =>
-        percentile_approx(col(qc), lit(p), lit(10000)).cast(DoubleType).as(s"${n}_$qc")
-      }
+    } ++ cfg.quantileCol.toSeq.map { qc =>
+      // t-digest sketch (north star): one mergeable digest per partition group
+      graft.functions.TDigestQuantiles(col(qc), Seq(0.5, 0.95, 0.99)).as(s"_tdq_$qc")
     }
-    val stats = pending.groupBy(part)
+    val stats0 = pending.groupBy(part)
       .agg(count(lit(1)).as("row_count"), statAggs: _*)
+    val stats = cfg.quantileCol.fold(stats0) { qc =>
+      stats0
+        .withColumn(s"p50_$qc", element_at(col(s"_tdq_$qc"), 1))
+        .withColumn(s"p95_$qc", element_at(col(s"_tdq_$qc"), 2))
+        .withColumn(s"p99_$qc", element_at(col(s"_tdq_$qc"), 3))
+        .drop(s"_tdq_$qc")
+    }
 
     // ---------------- 5. drift vs baseline (domain-sized windows) ----------------
     // KS on the numeric column: per-partition empirical CDF vs the GLOBAL

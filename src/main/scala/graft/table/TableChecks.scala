@@ -92,6 +92,15 @@ object TableChecks {
     df.agg(percentile_approx(col(column),
       array(probs.map(lit): _*), lit(accuracy)).as("quantiles"))
 
+  /** Quantiles via the custom t-digest `TypedImperativeAggregate` (the sketch
+    * the north star names; graft.functions.TDigestQuantileAgg). Mergeable
+    * O(compression) state — the partial/final shuffle carries the serialized
+    * digest, never values. */
+  def tdigestQuantiles(df: DataFrame, column: String, probs: Seq[Double],
+                       compression: Double = 100.0): DataFrame =
+    df.agg(graft.functions.TDigestQuantiles(col(column), probs, compression)
+      .as("quantiles"))
+
   // --------------------------------------------------------------------- drift
 
   /** Two-sample Kolmogorov–Smirnov statistic over a (discrete or discretized)
