@@ -232,7 +232,34 @@ object SparkEntry {
     // ---- text analysis: token counting ----
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
-        .select(col("doc_id"), col("ws_tokens"), col("bpe_est_tokens")))
+        .select(col("doc_id"), col("ws_tokens"), col("bpe_est_tokens"))),
+
+    // ---- multimodal plumbing: opaque binary payload + metadata extraction
+    //      (graft.table.Multimodal; codecs stubbed, schema/batching real) ----
+    "q_multimodal_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("payload", encode(col("text"), "UTF-8").cast("binary"))
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("byte_len"),
+          md5(col("payload")).as("fingerprint"),
+          ceil(length(col("payload")) / lit(64.0)).cast("long").as("n_frames"))),
+
+    // ---- event-time windowed aggregation (the batch form of the streaming
+    //      windowed violation counts; StreamingValidation runs the same agg) ----
+    "q_window_bucket" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 4).as("sum_value"))),
+
+    // ---- t-digest quantile sketch (custom TypedImperativeAggregate;
+    //      approximate, so driver records the rows-only check — accuracy is
+    //      pinned against exact quantiles in TDigestSpec) ----
+    "q_tdigest_ntok" -> ((s, dir) =>
+      TableChecks.tdigestQuantiles(t(s, dir, "documents"), "n_chars",
+        Seq(0.5, 0.95, 0.99)))
   )
 
   // =====================================================================
@@ -464,7 +491,21 @@ object SparkEntry {
       "q_token_counts" ->
         """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
            ceil(length(text)::DOUBLE / 4.0)::BIGINT AS bpe_est_tokens
-           FROM documents"""
+           FROM documents""",
+
+      "q_multimodal_meta" ->
+        """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
+           md5(text) AS fingerprint,
+           ceil(octet_length(encode(text))::DOUBLE / 64.0)::BIGINT AS n_frames
+           FROM documents""",
+
+      "q_window_bucket" ->
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+           count(*) AS cnt,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+           FROM events GROUP BY 1, 2"""
+      // q_tdigest_ntok: approximate sketch — deliberately no SQL oracle;
+      // the driver records the rows-only check (TDigestSpec pins accuracy)
     )
   }
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.model.SchemaParser
+import graft.streaming.StreamingValidation
+import graft.tokens.TokenSeqs
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+case class StreamRow(doc_id: String, tokens: Array[Int], n_tok: Int,
+                     source: String, ts: java.sql.Timestamp)
+
+class StreamingSpec extends SparkSpec {
+
+  private val uuidA = "0f8fad5b-d9cb-469f-a165-70867728950e"
+  private val uuidB = "7c9e6679-7425-40de-944b-e07fc1f90ae7"
+
+  private def ts(s: Long) = new java.sql.Timestamp(1700000000000L + s * 1000)
+
+  test("stateless violations stream: compiled plan runs on micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    val doc = SchemaParser.parse(TokenSeqs.canonicalSchemaJson())
+    val out = StreamingValidation.violations(input.toDF(), doc, "doc_id")
+    val q = out.writeStream.format("memory").queryName("viols")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamRow(uuidA, Array(1, 2, 3), 3, "web", ts(0)),      // clean
+        StreamRow("bad-id", Array(1), 1, "web", ts(1)),         // format:uuid
+        StreamRow(uuidB, Array(-5), 1, "web", ts(2)),           // items minimum
+        StreamRow(uuidA, Array(1), 1, "reddit", ts(3)))         // enum
+      q.processAllAvailable()
+      val rows = spark.sql("select keyword from viols").collect().map(_.getString(0))
+      assert(rows.count(_ == "format") === 1)
+      assert(rows.count(_ == "minimum") === 1)
+      assert(rows.count(_ == "enum") === 1)
+    } finally q.stop()
+  }
+
+  test("windowed violation counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    val doc = SchemaParser.parse(TokenSeqs.canonicalSchemaJson())
+    val out = StreamingValidation.windowedViolationCounts(
+      input.toDF(), doc, "doc_id", "ts", "10 seconds", "30 seconds")
+    val q = out.writeStream.format("memory").queryName("winviols")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        StreamRow(uuidA, Array(1), 1, "web", ts(0)),
+        StreamRow("nope", Array(1), 1, "web", ts(1)),
+        StreamRow("nope2", Array(1), 1, "web", ts(12)))
+      q.processAllAvailable()
+      val m = spark.sql("select keyword, sum(cnt) from winviols group by 1")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(m.getOrElse("format", 0L) === 2L)
+      assert(m.getOrElse("_none", 0L) >= 1L) // the clean row
+    } finally q.stop()
+  }
+
+  test("streaming uniqueness via flatMapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    val out = StreamingValidation.streamingDuplicates(input.toDF(), "doc_id", "ts")
+    val q = out.writeStream.format("memory").queryName("dups")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamRow(uuidA, Array(1), 1, "web", ts(0)),
+        StreamRow(uuidB, Array(1), 1, "web", ts(1)))
+      q.processAllAvailable()
+      input.addData(StreamRow(uuidA, Array(2), 1, "web", ts(2))) // duplicate
+      q.processAllAvailable()
+      val dups = spark.sql("select doc_id from dups").collect().map(_.getString(0))
+      assert(dups.toSeq === Seq(uuidA))
+    } finally q.stop()
+  }
+}
