@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 concurrent tasks in ONE JVM: size the heap for the
+  // whole "cluster" (the box has 125 GiB) or GC stalls masquerade as poor
+  // scaling at high parallelism. 28g stays under the 32 GiB
+  // compressed-oops threshold — crossing it doubles pointer width and
+  // measurably slows the allocation-heavy violation paths.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -259,7 +259,19 @@ object SparkEntry {
     //      pinned against exact quantiles in TDigestSpec) ----
     "q_tdigest_ntok" -> ((s, dir) =>
       TableChecks.tdigestQuantiles(t(s, dir, "documents"), "n_chars",
-        Seq(0.5, 0.95, 0.99)))
+        Seq(0.5, 0.95, 0.99))),
+
+    // ---- untyped-JSON ingestion: from_json into the schema-derived struct,
+    //      validated by the same compiled plan (graft.sources.JsonIngest) ----
+    "q_json_ingest" -> ((s, dir) => {
+      val doc = SchemaParser.parse(
+        """{"type":"object","required":["k"],
+           "properties":{"k":{"type":"integer","minimum":0,"maximum":50}}}""")
+      graft.sources.JsonIngest.ingest(t(s, dir, "events"), "props", doc)
+        .filter(!col("_valid"))
+        .select(col("event_id"), explode(col("_violations")).as("v"))
+        .select(col("event_id"), col("v.keyword").as("keyword"))
+    })
   )
 
   // =====================================================================
@@ -503,7 +515,18 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
            count(*) AS cnt,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
-           FROM events GROUP BY 1, 2"""
+           FROM events GROUP BY 1, 2""",
+
+      "q_json_ingest" ->
+        """SELECT event_id,
+           CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 'required'
+                WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50 THEN 'maximum'
+                ELSE 'minimum' END AS keyword
+           FROM events
+           WHERE props IS NOT NULL
+             AND (json_extract_string(props, '$.k') IS NULL
+                  OR CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                  OR CAST(json_extract_string(props, '$.k') AS BIGINT) < 0)"""
       // q_tdigest_ntok: approximate sketch — deliberately no SQL oracle;
       // the driver records the rows-only check (TDigestSpec pins accuracy)
     )

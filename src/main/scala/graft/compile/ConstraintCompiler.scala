@@ -400,9 +400,22 @@ object ConstraintCompiler {
           // items applies to elements at index >= k (validator.go:339-383).
           // Per-element violations carry the element index in instanceLocation
           // (mirrors InstancePointer composition, schema.go:1120-1144).
-          val perElemValid = transform(target,
-            (x, i) => i < k || compileNode(sub, ctx, x, et, s"$kwLoc/items", instLoc).valid)
-          val valid = forall(perElemValid, b => b)
+          //
+          // PERFORMANCE: Spark higher-order functions (transform/forall/
+          // filter) are CodegenFallback — they knock the whole projection out
+          // of whole-stage codegen. Two countermeasures keep the 99%-valid
+          // hot path fully codegen'd:
+          //  (a) when the element subschema is pure bounds over a numeric
+          //      element type, the validity predicate compiles to native
+          //      array_min/array_max comparisons (no lambdas at all);
+          //  (b) the per-element violation-record construction (string
+          //      concat + struct per element) only evaluates in the
+          //      `otherwise` branch of `when(valid, …)` — i.e. on the rare
+          //      invalid rows.
+          val valid = (if (k == 0) nativeItemsPred(sub, et, ctx, target) else None)
+            .getOrElse(forall(transform(target,
+              (x, i) => i < k || compileNode(sub, ctx, x, et, s"$kwLoc/items", instLoc).valid),
+              b => b))
           val viols = flatten(filter(
             transform(target, (x, i) =>
               when(i >= k,
@@ -410,10 +423,51 @@ object ConstraintCompiler {
                   concat(instLoc, lit("/"), i.cast(StringType))).violations)
               .otherwise(emptyViolations)),
             a => size(a) > 0))
-          Compiled(valid, coalesce(viols, emptyViolations))
+          Compiled(valid,
+            when(valid, emptyViolations).otherwise(coalesce(viols, emptyViolations)))
         }
         Some(and(prefixChecks ++ itemsCheck.toSeq))
       case _ => Some(Compiled(lit(true), emptyViolations))
+    }
+  }
+
+  /** Lambda-free `items` validity for bounds-only subschemas over numeric
+    * elements: `forall(a, x => lo ≤ x ≤ hi)` ≡ `array_min(a) ≥ lo ∧
+    * array_max(a) ≤ hi` (array_min/max skip nulls, matching nullIsAbsent
+    * element semantics; empty arrays are vacuously valid via coalesce).
+    * Returns None — falling back to the general HOF path — for anything
+    * beyond static-type + bounds, and always in conformance mode (where
+    * null elements are JSON nulls, not absences). */
+  private def nativeItemsPred(sub: SchemaNode, et: DataType, ctx: Ctx,
+                              target: Column): Option[Column] = {
+    if (ctx.conformance) return None
+    val integral = et match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val numeric = et.isInstanceOf[NumericType]
+    sub match {
+      case BoolSchema(true) => Some(lit(true))
+      case ObjSchema(kws) =>
+        val preds: Vector[Option[Column]] = kws.map {
+          case TypeK(ts) =>
+            if (integral && (ts.contains("integer") || ts.contains("number"))) Some(lit(true))
+            else if (numeric && !integral && ts.contains("number")) Some(lit(true))
+            else if (et == StringType && ts.contains("string")) Some(lit(true))
+            else if (et == BooleanType && ts.contains("boolean")) Some(lit(true))
+            else None // e.g. `integer` over doubles needs per-element residue
+          case MinimumK(v) if numeric => Some(coalesce(array_min(target) >= lit(v), lit(true)))
+          case MaximumK(v) if numeric => Some(coalesce(array_max(target) <= lit(v), lit(true)))
+          case ExclusiveMinimumK(v) if numeric =>
+            Some(coalesce(array_min(target) > lit(v), lit(true)))
+          case ExclusiveMaximumK(v) if numeric =>
+            Some(coalesce(array_max(target) < lit(v), lit(true)))
+          case _ => None
+        }
+        if (preds.forall(_.isDefined))
+          Some(target.isNull || preds.flatten.foldLeft(lit(true))(_ && _))
+        else None
+      case _ => None
     }
   }
 
@@ -757,7 +811,16 @@ object ConstraintCompiler {
         Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
           target, dt, loc("$dynamicRef"), instLoc))
 
-      case _: DefaultK | _: AnnotationK | _: FormatK => None
+      case AnnotationK(name, v) =>
+        // unknown keywords: custom-registered compilers apply
+        // (ConstraintRegistry); otherwise retained always-valid (schema.go:521-532)
+        ConstraintRegistry.get(name).flatMap { kc =>
+          kc(v, target, dt).map { case (pred, msg) =>
+            simple(target.isNull || pred, name, loc(name), instLoc, lit(msg))
+          }
+        }
+
+      case _: DefaultK | _: FormatK => None
       case other =>
         throw new IllegalStateException(s"unhandled keyword ${other.name}")
     }

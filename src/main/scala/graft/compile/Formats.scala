@@ -97,7 +97,18 @@ object Formats {
   private val uriRe = s"^$schemeRe:$uriTailRe$$"
   private val uriRefRe = s"^$uriTailRe$$"
 
-  /** Registry: format name → predicate builder. Unknown formats are
+  /** User-registered format validators — the extension point mirroring
+    * `RegisterFormatValidator` (`internal/validator/validator.go:1237-1244`,
+    * `pkg/format/format.go:43-45`). Thread-safe; custom registrations shadow
+    * built-ins, like the reference's registry overwrite semantics. Predicates
+    * must be pure Column expressions (broadcast-safe, codegen-friendly). */
+  private val custom =
+    new java.util.concurrent.ConcurrentHashMap[String, Column => Column]()
+
+  def register(name: String, predicate: Column => Column): Unit =
+    custom.put(name, predicate)
+
+  /** Built-in registry: format name → predicate builder. Unknown formats are
     * always-valid, matching the unregistered-format behavior
     * (`validator.go:1252-1257`). */
   val registry: Map[String, Column => Column] = Map(
@@ -128,5 +139,6 @@ object Formats {
     "regex" -> (c => !c.rlike("[\\[\\(\\{]$"))
   )
 
-  def predicate(format: String): Option[Column => Column] = registry.get(format)
+  def predicate(format: String): Option[Column => Column] =
+    Option(custom.get(format)).orElse(registry.get(format))
 }

@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.StructType
   */
 object RowValidator {
 
+  private def emptyViolationsLit: Column = ConstraintCompiler.emptyViolations
+
   /** Validate every row; returns the input plus `_valid: boolean` and
     * `_violations: array<struct<keyword,keywordLocation,instanceLocation,message>>`. */
   def withValidation(df: DataFrame, doc: SchemaDoc,
@@ -29,17 +31,39 @@ object RowValidator {
   }
 
   /** Violations Dataset: one row per (input row, failed constraint), carrying
-    * the row id and the executor partition for lineage (FIXTURES.md §4). */
+    * the row id and the executor partition for lineage (FIXTURES.md §4).
+    *
+    * Two-phase shape, deliberately: the FILTER evaluates only the validity
+    * predicate — a lambda-free Column tree that stays inside whole-stage
+    * codegen — and the violation-record construction (which contains
+    * higher-order functions, i.e. CodegenFallback expressions that would
+    * knock the whole operator into interpreted eval) runs in a separate
+    * projection that only ever sees the ~violation-rate fraction of rows. */
   def violations(df: DataFrame, doc: SchemaDoc, idCol: String,
-                 opts: CompileOpts = CompileOpts()): DataFrame =
-    withValidation(df, doc, opts)
-      .select(col(idCol), col("_violations"), spark_partition_id().as("partition_id"))
-      .filter(size(col("_violations")) > 0)
-      .select(col(idCol), explode(col("_violations")).as("v"), col("partition_id"))
-      .select(col(idCol), col("v.keyword").as("keyword"),
+                 opts: CompileOpts = CompileOpts(),
+                 extraCols: Seq[String] = Nil): DataFrame = {
+    val target = struct(df.columns.map(col): _*)
+    val compiled = ConstraintCompiler.compile(doc, target, df.schema, opts)
+    val keep = (extraCols :+ idCol).distinct.map(col)
+    // The nondeterministic-but-constant guard is load-bearing: without it,
+    // InferFiltersFromGenerate derives `size(_violations) > 0` from the
+    // explode below, and PushDownPredicates substitutes the ENTIRE violations
+    // tree into the pre-filter — which then evaluates the HOF-laden
+    // expression on every input row, interpreted (CodegenFallback), instead
+    // of only on the failing fraction. Nondeterminism pins the violation
+    // construction in its own projection above the codegen'd validity filter.
+    val guarded = when(spark_partition_id() >= 0, compiled.violations)
+      .otherwise(emptyViolationsLit)
+    df.withColumn("_pid", spark_partition_id())
+      .filter(!compiled.valid)                       // codegen'd hot path
+      .select(keep :+ guarded.as("_violations") :+
+        col("_pid").as("partition_id"): _*)          // interpreted, rare rows
+      .select(keep :+ explode(col("_violations")).as("v") :+ col("partition_id"): _*)
+      .select(keep ++ Seq(col("v.keyword").as("keyword"),
         col("v.keywordLocation").as("keywordLocation"),
         col("v.instanceLocation").as("instanceLocation"),
-        col("v.message").as("message"), col("partition_id"))
+        col("v.message").as("message"), col("partition_id")): _*)
+  }
 
   /** Convenience: is a single-column DataFrame of instances fully valid?
     * Used by the conformance-suite runner (value column = the instance). */

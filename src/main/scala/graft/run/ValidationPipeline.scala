@@ -95,13 +95,12 @@ object ValidationPipeline {
     }
 
     // ---------------- 1. row-level constraint violations ----------------
-    val rowViol = RowValidator.withValidation(pending, doc)
-      .select(part, col(cfg.idCol), col("_violations"))
-      .filter(size(col("_violations")) > 0)
-      .select(part, col(cfg.idCol), explode(col("_violations")).as("v"))
+    // two-phase: codegen'd validity filter first, violation construction
+    // (CodegenFallback HOFs) only on the failing fraction (RowValidator)
+    val rowViol = RowValidator.violations(pending, doc, cfg.idCol,
+        extraCols = Seq(cfg.partCol))
       .select(part, col(cfg.idCol).cast(StringType).as("doc_id"),
-        col("v.keyword").as("keyword"), col("v.keywordLocation").as("keywordLocation"),
-        col("v.instanceLocation").as("instanceLocation"), col("v.message").as("message"))
+        col("keyword"), col("keywordLocation"), col("instanceLocation"), col("message"))
 
     // ---------------- 2. referential integrity (broadcast anti-join) ----------------
     val riViol: Option[DataFrame] = for { k <- cfg.riKey; d <- dim } yield
@@ -128,8 +127,13 @@ object ValidationPipeline {
             .as("message"))
     }
 
+    // persisted: the violation set feeds BOTH the returned sink and the
+    // per-partition verdict counts — without this the whole constraint-eval
+    // DAG runs twice. Violations are ≤ violation-rate × rows (small), so
+    // MEMORY_AND_DISK is safe at any input scale.
     val violations = (Seq(rowViol) ++ riViol.toSeq ++ uniqViol.toSeq)
       .reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---------------- 4. per-partition column stats (one hash agg) ----------------
     val statAggs: Seq[Column] = cfg.statsCols.flatMap { c =>
