@@ -365,11 +365,13 @@ object ConstraintCompiler {
           // (validator.go:389-400)
           val needOne = !minC.contains(0L)
           val checks = Seq.newBuilder[Compiled]
-          if (needOne) checks += simple(matchCount >= 1, "contains", s"$kwLoc/contains",
-            instLoc, lit("no array items match contains schema"))
-          minC.foreach(n => checks += simple(matchCount >= n, "minContains",
+          // null instance → keyword ignored (wrong-typed instances skipped)
+          val absent = target.isNull
+          if (needOne) checks += simple(absent || matchCount >= 1, "contains",
+            s"$kwLoc/contains", instLoc, lit("no array items match contains schema"))
+          minC.foreach(n => checks += simple(absent || matchCount >= n, "minContains",
             s"$kwLoc/minContains", instLoc, lit(s"fewer than $n items match contains schema")))
-          maxC.foreach(n => checks += simple(matchCount <= n, "maxContains",
+          maxC.foreach(n => checks += simple(absent || matchCount <= n, "maxContains",
             s"$kwLoc/maxContains", instLoc, lit(s"more than $n items match contains schema")))
           and(checks.result())
         case _ => Compiled(lit(true), emptyViolations) // non-array: keyword ignored
@@ -392,9 +394,11 @@ object ConstraintCompiler {
             val el = element_at(target, i + 1)
             val c = compileNode(sub, ctx, el, et, s"$kwLoc/prefixItems/$i",
               concat(instLoc, lit(s"/$i")))
-            // element i only constrained when it exists (validator.go:283-302)
-            Compiled(size(target) <= i || c.valid,
-              when(size(target) <= i, emptyViolations).otherwise(c.violations))
+            // element i only constrained when it exists (validator.go:283-302);
+            // null instance → keyword ignored
+            Compiled(target.isNull || size(target) <= i || c.valid,
+              when(target.isNull || size(target) <= i, emptyViolations)
+                .otherwise(c.violations))
         }
         val itemsCheck: Option[Compiled] = itemsS.map { sub =>
           // items applies to elements at index >= k (validator.go:339-383).
@@ -412,10 +416,12 @@ object ConstraintCompiler {
           //      concat + struct per element) only evaluates in the
           //      `otherwise` branch of `when(valid, …)` — i.e. on the rare
           //      invalid rows.
+          // null instance → array keywords ignored (wrong-typed instances are
+          // skipped, validator.go:342); guards also stop HOF null-propagation
           val valid = (if (k == 0) nativeItemsPred(sub, et, ctx, target) else None)
-            .getOrElse(forall(transform(target,
+            .getOrElse(target.isNull || coalesce(forall(transform(target,
               (x, i) => i < k || compileNode(sub, ctx, x, et, s"$kwLoc/items", instLoc).valid),
-              b => b))
+              b => b), lit(true)))
           val viols = flatten(filter(
             transform(target, (x, i) =>
               when(i >= k,
