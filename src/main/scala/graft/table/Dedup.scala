@@ -101,16 +101,23 @@ object Dedup {
       struct(lit(bi).as("band"),
         concat_ws("_", (0 until r).map(j => col(s"mh_${bi * r + j}")): _*).as("key"))
     }
-    val buckets = withSig.select(col("id"), col("tokens"),
-      explode(array(bandCols: _*)).as("bk"))
-    val aSide = buckets.select(col("bk"), col("id").as("id_a"), col("tokens").as("t_a"))
-    val bSide = buckets.select(col("bk"), col("id").as("id_b"), col("tokens").as("t_b"))
+    // the band join and the candidate-pair dedup move ONLY (band, key, id)
+    // triples — token arrays never enter a shuffle key. Payload joins back
+    // once, for the (rare) verified candidates.
+    val buckets = withSig.select(col("id"), explode(array(bandCols: _*)).as("bk"))
+    val aSide = buckets.select(col("bk"), col("id").as("id_a"))
+    val bSide = buckets.select(col("bk"), col("id").as("id_b"))
     val cand = aSide.join(bSide, Seq("bk")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "t_a", "t_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val toks = df.select(col(idCol).as("id"), col(tokensCol).as("tokens"))
+      .filter(size(col(tokensCol)) > 2)
+    val withToks = cand
+      .join(toks.select(col("id").as("id_a"), col("tokens").as("t_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tokens").as("t_b")), Seq("id_b"))
     // exact verification on the candidate set only
     val sa = array_distinct(shingles3(col("t_a")))
     val sb = array_distinct(shingles3(col("t_b")))
-    cand.withColumn("jaccard",
+    withToks.withColumn("jaccard",
         size(array_intersect(sa, sb)).cast("double") /
         size(array_union(sa, sb)).cast("double"))
       .filter(col("jaccard") >= minJaccard)

@@ -66,16 +66,22 @@ object Similarity {
       val planes = hyperplaneSigns(numPlanes, dim, seed + 1000 * t)
       (t, planes)
     }
+    // bucket rows and the candidate dedup carry ONLY (table, bucket, id) —
+    // vectors join back once for the surviving candidate pairs.
     def bucketed(df: DataFrame, id: String, as: String): DataFrame =
-      df.select(col(id).as(as), col(vecCol).as(s"${as}_vec"),
+      df.select(col(id).as(as),
           explode(array(tables.map { case (t, planes) =>
             struct(lit(t).as("t"), lshBucket(col(vecCol), planes).as("b")) }: _*)).as("tb"))
     val c = bucketed(corpus, idCol, "item_id")
     val q = bucketed(queries, queryIdCol, "query_id")
     val cand = c.join(q, Seq("tb")).filter(col("item_id") =!= col("query_id"))
-      .select("query_id", "item_id", "item_id_vec", "query_id_vec").distinct()
+      .select("query_id", "item_id").distinct()
+    val withVecs = cand
+      .join(corpus.select(col(idCol).as("item_id"), col(vecCol).as("item_vec")), Seq("item_id"))
+      .join(broadcast(queries.select(col(queryIdCol).as("query_id"),
+        col(vecCol).as("query_vec"))), Seq("query_id"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("item_id"))
-    cand.withColumn("cosine", cosine(col("item_id_vec"), col("query_id_vec")))
+    withVecs.withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "item_id", "cosine", "rank")
   }
