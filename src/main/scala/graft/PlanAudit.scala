@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints condensed physical-plan diagnostics for the headline queries:
+  * are filters pushed to the scan, are small sides broadcast, how wide are
+  * the whole-stage-codegen spans, is the read schema pruned? */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val interesting = Seq("q1_agg", "q_join_agg", "q_ri_violations", "q_dup_salted",
+      "q_ann_topk", "q_minhash_lsh", "q_row_violations", "q_window_bucket",
+      "q_tdigest_ntok", "q_json_ingest")
+    interesting.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
+        .map(_.take(90)).toSeq.distinct
+      val reads = "ReadSchema: [^,\\n]*".r.findAllIn(plan).map(_.take(110)).toSeq.distinct
+      val joins = plan.linesIterator.map(_.trim).filter(l =>
+        l.contains("Join") || l.contains("Exchange") || l.contains("BroadcastNestedLoop"))
+        .map(_.split("\\(").head.replaceAll("^[+*:-]+\\s*", "").trim).toSeq
+        .groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
+      val codegenSpans = "WholeStageCodegen \\(\\d+\\)".r.findAllIn(plan).size
+      println(s"== $name")
+      println(s"   joins/exchanges: ${joins.mkString("; ")}")
+      println(s"   codegen spans: $codegenSpans")
+      pushed.foreach(p => println(s"   $p"))
+      reads.foreach(r => println(s"   $r"))
+    }
+    spark.stop()
+  }
+}

@@ -130,6 +130,14 @@ object SchemaParser {
 
   def parse(jsonText: String): SchemaDoc = parseJValue(JsonMethods.parse(jsonText))
 
+  /** Driver-side parsed-schema memo — the analogue of the reference's schema
+    * cache (`internal/schemacache/schemacache.go:16-73`, concurrent variant
+    * :45-73). Parsing is pure, so the cache is just a concurrent map keyed by
+    * the schema text. */
+  private val parseMemo = scala.collection.concurrent.TrieMap.empty[String, SchemaDoc]
+  def parseCached(jsonText: String): SchemaDoc =
+    parseMemo.getOrElseUpdate(jsonText, parse(jsonText))
+
   def parseJValue(raw: JValue): SchemaDoc = {
     val anchors = collectAnchors(raw, "$anchor", Map.empty)
     val dynAnchors = collectAnchors(raw, "$dynamicAnchor", Map.empty)
