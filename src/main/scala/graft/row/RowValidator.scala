@@ -77,7 +77,10 @@ object RowValidator {
 
   /** Apply `default` values before validation — `coalesce(col, default)` per
     * top-level property carrying a default (mirrors ApplyDefaults,
-    * validator.go:468-517; skipped for required fields like :468). */
+    * validator.go:468-517; skipped for required fields like :468).
+    * prefixItems element defaults (:281-297) are not applied — fixed-width
+    * array defaulting has no natural analogue over variable-length token
+    * arrays; documented limitation. */
   def applyDefaults(df: DataFrame, doc: SchemaDoc): DataFrame = {
     import graft.model._
     doc.root match {
