@@ -13,6 +13,9 @@ for tbl in ["region","nation","customer","supplier","part","orders","lineitem",
     con.execute(f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{sfdir}/{tbl}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# Verify.scala emits every SQL under both "<q>" and "<q>.parquet" (the latter
+# for the driver, which keys its compare by output dir name) — check each once.
+oracle = {k: v for k, v in oracle.items() if not k.endswith(".parquet")}
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])

@@ -27,7 +27,10 @@ object PlanAudit {
         l.contains("Join") || l.contains("Exchange") || l.contains("BroadcastNestedLoop"))
         .map(_.split("\\(").head.replaceAll("^[+*:-]+\\s*", "").trim).toSeq
         .groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
-      val codegenSpans = "WholeStageCodegen \\(\\d+\\)".r.findAllIn(plan).size
+      // executedPlan.toString renders codegen'd operators as "*(N) ..." —
+    // count distinct span ids, not the "WholeStageCodegen (N)" UI form.
+    val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSet.size
       println(s"== $name")
       println(s"   joins/exchanges: ${joins.mkString("; ")}")
       println(s"   codegen spans: $codegenSpans")

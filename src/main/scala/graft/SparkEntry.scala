@@ -94,9 +94,13 @@ object SparkEntry {
         .limit(10).select("l_orderkey", "l_linenumber", "l_extendedprice")),
 
     // ---- anti / semi joins ----
+    // anti-join right side filtered so the result is non-empty at every SF
+    // (every customer has SOME order in this data; not every customer has a
+    // >350k order) — an empty result would make the oracle check vacuous.
     "q_anti_join" -> ((s, dir) => {
       val c = t(s, dir, "customer")
-      val o = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 350000)
+        .select(col("o_custkey").as("c_custkey"))
       c.join(o, Seq("c_custkey"), "left_anti").select("c_custkey")
     }),
     "q_semi_join" -> ((s, dir) => {
@@ -174,10 +178,15 @@ object SparkEntry {
       tokenSeqs(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("tokens")).as("fp"))),
 
-    // ---- dedup: exact (by full text) — keep-first count ----
+    // ---- dedup: exact (by normalized content) — the full texts are all
+    //      unique in this data, so dedup keys on the leading-5-word prefix
+    //      (a standard normalized-content key) to produce real dup groups ----
     "q_exact_dup" -> ((s, dir) =>
-      Dedup.exactDuplicates(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("text"), col("dup_count"))),
+      Dedup.exactDuplicates(
+        t(s, dir, "documents")
+          .withColumn("text_norm", array_join(slice(split(col("text"), " "), 1, 5), " ")),
+        "doc_id", "text_norm")
+        .select(col("text_norm"), col("dup_count"))),
     "q_dedup_keep_count" -> ((s, dir) =>
       Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("cnt"))),
@@ -210,11 +219,30 @@ object SparkEntry {
           col("rank"))
     }),
 
-    // ---- similarity: embedding near-duplicate pairs ----
+    // ---- similarity: embedding near-duplicate pairs (exact baseline; the
+    //      synthetic embeddings are near-orthogonal, so 0.3 is the threshold
+    //      that yields real pairs — 0.8 returned 0 rows, a vacuous check) ----
     "q_near_dup_cosine" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings").filter(col("vec_id") < 200),
-        "vec_id", "embedding", minCosine = 0.8)
+        "vec_id", "embedding", minCosine = 0.3)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // ---- similarity: sign-LSH bucketed near-dup pairs (the scale path —
+    //      no cartesian anywhere in the plan) ----
+    "q_lsh_near_dup" -> ((s, dir) =>
+      Dedup.lshNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        minCosine = 0.3, numPlanes = 4, numTables = 4)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))),
+
+    // ---- similarity: LSH-bucketed ANN top-k (bucket join + exact re-rank) ----
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb,
+        emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        "vec_id", "embedding", "query_id", k = 3, numPlanes = 4, numTables = 4)
+        .select(col("query_id"), col("item_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
 
     // ---- text analysis: language ID ----
     "q_langid" -> ((s, dir) =>
@@ -324,7 +352,8 @@ object SparkEntry {
 
       "q_anti_join" ->
         """SELECT c_custkey FROM customer
-           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+           WHERE c_custkey NOT IN
+             (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)""",
 
       "q_semi_join" ->
         """SELECT c_custkey FROM customer
@@ -408,8 +437,9 @@ object SparkEntry {
       },
 
       "q_exact_dup" ->
-        """SELECT text, count(*) AS dup_count FROM documents
-           GROUP BY text HAVING count(*) > 1""",
+        """SELECT array_to_string(string_split(text, ' ')[1:5], ' ') AS text_norm,
+           count(*) AS dup_count FROM documents
+           GROUP BY 1 HAVING count(*) > 1""",
 
       "q_dedup_keep_count" ->
         "SELECT count(*) AS cnt FROM (SELECT min(doc_id) FROM documents GROUP BY text)",
@@ -478,7 +508,57 @@ object SparkEntry {
            SELECT a.id id_a, b.id id_b,
              round(list_dot_product(a.v, b.v), 6) AS cosine
            FROM n a JOIN n b ON a.id < b.id
-           WHERE list_dot_product(a.v, b.v) >= 0.8""",
+           WHERE list_dot_product(a.v, b.v) >= 0.3""",
+
+      "q_lsh_near_dup" -> {
+        // identical deterministic hyperplanes to Dedup.lshNearDups(4 planes,
+        // 4 tables, seed 42): sign arrays embedded as literal constants
+        val bucketSelects = (0 until 4).map { tIdx =>
+          val planes = Similarity.hyperplaneSigns(4, 64, 42L + 1000 * tIdx)
+          val bucket = planes.zipWithIndex.map { case (p, i) =>
+            val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(v, $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT id, $tIdx t, $bucket b FROM n"
+        }.mkString(" UNION ALL ")
+        s"""WITH n AS (SELECT vec_id id, list_transform(embedding, x -> x::DOUBLE /
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) v
+           FROM embeddings),
+           bk AS ($bucketSelects),
+           cand AS (SELECT DISTINCT a.id id_a, b2.id id_b FROM bk a
+             JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.id < b2.id)
+           SELECT id_a, id_b, round(list_dot_product(na.v, nb.v), 6) AS cosine
+           FROM cand JOIN n na ON na.id = cand.id_a JOIN n nb ON nb.id = cand.id_b
+           WHERE list_dot_product(na.v, nb.v) >= 0.3"""
+      },
+
+      "q_ann_lsh" -> {
+        // lshTopK buckets the RAW vectors (sign is normalization-invariant)
+        val bucketSelects = (0 until 4).map { tIdx =>
+          val planes = Similarity.hyperplaneSigns(4, 64, 42L + 1000 * tIdx)
+          val bucket = planes.zipWithIndex.map { case (p, i) =>
+            val arr = p.map(x => if (x > 0) "1" else "-1").mkString("[", ",", "]")
+            s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+          }.mkString(" + ")
+          s"SELECT vec_id id, $tIdx t, $bucket b FROM embeddings"
+        }.mkString(" UNION ALL ")
+        s"""WITH bk AS ($bucketSelects),
+           cand AS (SELECT DISTINCT q.id query_id, c.id item_id FROM bk q
+             JOIN bk c ON q.t = c.t AND q.b = c.b AND q.id <> c.id
+             WHERE q.id < 10),
+           scored AS (SELECT cand.query_id, cand.item_id,
+             list_dot_product(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qe.embedding::DOUBLE[], qe.embedding::DOUBLE[]))) cosine
+             FROM cand
+             JOIN embeddings e ON e.vec_id = cand.item_id
+             JOIN embeddings qe ON qe.vec_id = cand.query_id),
+           ranked AS (SELECT query_id, item_id, cosine,
+             row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) rank
+             FROM scored)
+           SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 3"""
+      },
 
       "q_langid" -> {
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted

@@ -55,14 +55,19 @@ object ValidationJob {
     // snapshot 1: clean baseline; snapshot 2: current with injected violations
     def withPart(df: DataFrame): DataFrame =
       df.withColumn("part", pmod(xxhash64(coalesce(col("doc_id"), lit(""))), lit(parts)))
-    if (store.currentSnapshot("token_sequences").isEmpty) {
+    // crash-safe bootstrap: commit only the MISSING snapshot(s), so a crash
+    // between the baseline commit (snap 1) and the current commit (snap 2)
+    // resumes by synthesizing just snap 2 instead of skipping synthesis and
+    // failing forever on read(..., Some(2L)).
+    val committed = store.currentSnapshot("token_sequences").getOrElse(0L)
+    if (committed < 1L)
       store.commit("token_sequences",
         withPart(TokenSeqs.synthesize(spark, rows, seed + 1, violationRate = 0.0,
           numPartitions = parts)), "part")
+    if (committed < 2L)
       store.commit("token_sequences",
         withPart(TokenSeqs.synthesize(spark, rows, seed, violationRate = rate,
           numPartitions = parts)), "part")
-    }
     val baseline = store.read("token_sequences", Some(1L))
     val current = store.read("token_sequences", Some(2L))
     val dim = spark.createDataFrame(

@@ -192,8 +192,14 @@ object ValidationPipeline {
       val o = pending.groupBy(part, col(c).as("k")).agg(count(lit(1)).as("o"))
       val e = b.groupBy(col(c).as("k")).agg(count(lit(1)).as("eRaw"))
       val eTot = e.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
-      val joined = o.join(broadcast(e), Seq("k"), "left_outer")
-        .na.fill(0L, Seq("eRaw"))
+      // partitions × baseline-category grid (like the KS domain grid): a
+      // category present in the baseline but ABSENT from a partition must
+      // still contribute (0 − e)²/e = e to that partition's statistic;
+      // observed-only categories enter via the full-outer with e = 0 → the
+      // 0.5 pseudo-count below.
+      val grid = o.select(part).distinct().crossJoin(broadcast(e))
+      val joined = grid.join(o, Seq(cfg.partCol, "k"), "full_outer")
+        .na.fill(0L, Seq("o", "eRaw"))
       val oTot = sum("o").over(Window.partitionBy(part))
       joined
         .withColumn("e", (when(col("eRaw") === 0L, 0.5)
@@ -257,7 +263,12 @@ object ValidationPipeline {
                    outDir: String): PipelineResult = {
     val store = new ManifestStore(spark, outDir)
     val r = run(spark, facts, dim, baseline, cfg, runId, Some(store))
-    r.violations.write.mode("append")
+    // dynamic partition overwrite: a crash between this write and the
+    // manifest append makes the resumed run re-validate those partitions —
+    // REPLACING their violation files instead of appending duplicates
+    // (validation is deterministic, so the replacement is identical).
+    r.violations.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(cfg.partCol).parquet(s"$outDir/violations")
     store.append(r.manifest)
     r

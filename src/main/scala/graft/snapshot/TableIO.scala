@@ -53,6 +53,12 @@ final class ParquetSnapshotStore(spark: SparkSession, root: String) extends Tabl
   override def commit(table: String, df: DataFrame, partitionCol: String): Long = {
     val id = currentSnapshot(table).getOrElse(0L) + 1L
     val dataPath = new Path(tableRoot(table), s"snap=$id")
+    // a crashed writer may have left partial data files for this id with no
+    // commit marker — that snapshot was never visible to any reader, so
+    // clearing it before the retry is safe (and ErrorIfExists would
+    // otherwise fail the retry forever).
+    val df0 = fs(dataPath)
+    if (df0.exists(dataPath)) df0.delete(dataPath, true)
     df.write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionCol).parquet(dataPath.toString)
     // commit marker last — readers only see fully-written snapshots

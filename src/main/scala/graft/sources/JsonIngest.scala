@@ -29,7 +29,20 @@ object JsonIngest {
       if (types.contains("object") || kws.exists(_.isInstanceOf[PropertiesK])) {
         val props = kws.collectFirst { case PropertiesK(ps) => ps }.getOrElse(Vector.empty)
         val required = kws.collectFirst { case RequiredK(ns) => ns.toSet }.getOrElse(Set.empty)
-        if (props.isEmpty) MapType(StringType, StringType)
+        if (props.isEmpty) {
+          // property-less object: the map VALUE type comes from the
+          // additionalProperties / patternProperties value schema — reading
+          // values as raw strings would stringify numbers and make the
+          // compiled `type` keyword reject valid instances.
+          val valueSchemas =
+            kws.collectFirst { case AdditionalPropertiesK(s) => s }.toSeq ++
+            kws.collectFirst { case PatternPropertiesK(ps) => ps.map(_._2) }
+              .getOrElse(Vector.empty)
+          valueSchemas.map(structTypeFor).distinct match {
+            case Seq(single) => MapType(StringType, single)
+            case _ => MapType(StringType, StringType) // mixed/unconstrained
+          }
+        }
         else StructType(props.map { case (name, sub) =>
           StructField(name, structTypeFor(sub), nullable = !required(name))
         })

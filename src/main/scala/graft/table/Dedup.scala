@@ -32,17 +32,43 @@ object Dedup {
            element_at(tokens, i + 1).cast("long") * lit(4096L) +
            element_at(tokens, i + 2).cast("long")))
 
-  /** Exact duplicates by full content: returns groups (content key, ids). */
-  def exactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame =
-    df.groupBy(col(contentCol))
+  /** Hashes with more than one row — the (tiny) exact-dup candidate key set.
+    * Only (hash, count) pairs shuffle, with map-side combine; the content
+    * column never enters this aggregation. */
+  private def dupHashes(df: DataFrame, contentCol: String): DataFrame =
+    df.select(xxhash64(col(contentCol)).as("_h"))
+      .groupBy("_h").agg(count(lit(1)).as("_hc")).filter(col("_hc") > 1)
+      .select("_h")
+
+  /** Exact duplicates by full content: returns groups (content key, ids).
+    *
+    * Two-phase so the corpus payload never shuffles: (1) aggregate 64-bit
+    * content-hash counts (map-side combined — shuffles only (hash, count));
+    * (2) the rows whose hash collides (a ~dup-rate fraction of the input)
+    * semi-join the broadcast hot-hash list and confirm by exact content
+    * grouping — hash collisions between distinct contents fall out at the
+    * final `dup_count > 1` filter. */
+  def exactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val candidates = df
+      .withColumn("_h", xxhash64(col(contentCol)))
+      .join(broadcast(dupHashes(df, contentCol)), Seq("_h"), "left_semi")
+    candidates.groupBy(col(contentCol))
       .agg(count(lit(1)).as("dup_count"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("dup_count") > 1)
+  }
 
-  /** Exact-dedup keep-first: drop all but the min-id row per content group —
-    * shuffle on content hash only. */
+  /** Exact-dedup keep-first: drop all but the min-id row per content group.
+    * Rows whose content hash is unique (the overwhelming majority) pass
+    * through without any payload shuffle; only hash-colliding rows shuffle —
+    * on (hash, content) — for the keep-first window. */
   def dropExactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
-    val w = Window.partitionBy(col(contentCol)).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    val hot = dupHashes(df, contentCol)
+    val withH = df.withColumn("_h", xxhash64(col(contentCol)))
+    val uniques = withH.join(broadcast(hot), Seq("_h"), "left_anti")
+    val w = Window.partitionBy(col("_h"), col(contentCol)).orderBy(col(idCol))
+    val keepers = withH.join(broadcast(hot), Seq("_h"), "left_semi")
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+    uniques.unionByName(keepers).drop("_h")
   }
 
   /** N-gram Jaccard similar pairs: explode distinct shingles, self-join on
@@ -54,9 +80,13 @@ object Dedup {
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    // cap stop-shingles: a shingle in > maxDocFreq docs generates O(F²) pairs
-    val freqOk = exploded.withColumn("_f", count(lit(1)).over(Window.partitionBy("s")))
-      .filter(col("_f") <= maxDocFreq).drop("_f")
+    // cap stop-shingles: a shingle in > maxDocFreq docs generates O(F²) pairs.
+    // The hot list comes from a map-side-combined count aggregation (shuffles
+    // only (shingle, count)) and is tiny by construction, so it broadcasts
+    // into an anti-join — no sort-shuffle of the full exploded table.
+    val hotShingles = exploded.groupBy("s").agg(count(lit(1)).as("_f"))
+      .filter(col("_f") > maxDocFreq).select("s")
+    val freqOk = exploded.join(broadcast(hotShingles), Seq("s"), "left_anti")
     val a = freqOk.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s"))
     val b = freqOk.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s"))
     a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
@@ -76,13 +106,18 @@ object Dedup {
     Seq.fill(k)((next(), next()))
   }
 
-  /** MinHash signature columns: minhash_j = min over shingles of (a_j·(s mod P) + b_j) mod P. */
-  def minhashSignature(tokens: Column, coeffs: Seq[(Long, Long)]): Seq[Column] = {
-    val sh = shingles3(tokens)
-    coeffs.zipWithIndex.map { case ((a, b), j) =>
-      array_min(transform(sh, s => (pmod(s, lit(P)) * lit(a) + lit(b)) % lit(P)))
-        .as(s"mh_$j")
-    }
+  /** Full MinHash signature as ONE array column, computed in a single fold
+    * over the shingle set: acc_j ← min(acc_j, (a_j·(s mod P) + b_j) mod P).
+    * The shingle array is built exactly once per row — K separate
+    * `array_min(transform(shingles…))` trees would rebuild (and re-distinct)
+    * it K times in interpreted HOF eval, the round-1 hot spot. */
+  def minhashSignature(tokens: Column, coeffs: Seq[(Long, Long)]): Column = {
+    val cs = typedLit(coeffs) // array<struct<_1:a, _2:b>>
+    aggregate(
+      shingles3(tokens),
+      typedLit(Seq.fill(coeffs.size)(P)), // hashes are < P, so P acts as +∞
+      (acc, s) => zip_with(acc, cs, (m, c) =>
+        least(m, (pmod(s, lit(P)) * c.getField("_1") + c.getField("_2")) % lit(P))))
   }
 
   /** MinHash-LSH candidate pairs: K=16 hashes in 4 bands of 4; docs sharing
@@ -96,10 +131,11 @@ object Dedup {
     val withSig = df
       .select(col(idCol).as("id"), col(tokensCol).as("tokens"))
       .filter(size(col(tokensCol)) > 2)
-      .select(col("id") +: col("tokens") +: minhashSignature(col("tokens"), coeffs): _*)
+      .select(col("id"), minhashSignature(col("tokens"), coeffs).as("sig"))
     val bandCols = (0 until bands).map { bi =>
       struct(lit(bi).as("band"),
-        concat_ws("_", (0 until r).map(j => col(s"mh_${bi * r + j}")): _*).as("key"))
+        concat_ws("_", (0 until r).map(j =>
+          element_at(col("sig"), bi * r + j + 1).cast("string")): _*).as("key"))
     }
     // the band join and the candidate-pair dedup move ONLY (band, key, id)
     // triples — token arrays never enter a shuffle key. Payload joins back
@@ -148,20 +184,60 @@ object Dedup {
         sort_array(collect_list(col("id"))).as("ids"))
       .filter(col("dup_count") > 1)
 
-  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
-    * Brute-force O(n²) within a self-join — the scale path buckets by
-    * random-hyperplane LSH first (see Similarity.lshBuckets). */
-  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        minCosine: Double): DataFrame = {
+  private def normalizedVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val normalized = df.select(col(idCol).as("id"),
+    df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double") / norm).as("v"))
+  }
+
+  /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
+    * Delegates to the sign-LSH bucketed path unless the table is small enough
+    * (`bruteForceMax`) that the exact O(n²) self-join is cheaper than
+    * bucketing — brute force is the exactness baseline, LSH the scale path. */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+                        minCosine: Double, bruteForceMax: Long = 10000L): DataFrame =
+    // count() here is a metadata-cheap action on columnar sources and the
+    // price of auto-routing; callers that already know their scale call
+    // bruteForceNearDups / lshNearDups directly.
+    if (df.count() <= bruteForceMax) bruteForceNearDups(df, idCol, vecCol, minCosine)
+    else lshNearDups(df, idCol, vecCol, minCosine)
+
+  /** Exact O(n²) near-dup pairs — small-n baseline ONLY (cartesian). */
+  def bruteForceNearDups(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame = {
+    val normalized = normalizedVecs(df, idCol, vecCol)
     val a = normalized.select(col("id").as("id_a"), col("v").as("v_a"))
     val b = normalized.select(col("id").as("id_b"), col("v").as("v_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .withColumn("cosine", zip_with(col("v_a"), col("v_b"), (x, y) => x * y)
         .pipe(s => aggregate(s, lit(0.0d), (acc, x) => acc + x)))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Sign-LSH bucketed near-dup pairs — the 100 TB shape: candidates pair up
+    * only inside (table, bucket) cells, the candidate join carries ONLY
+    * (table, bucket, id), and vectors join back once for the surviving pairs.
+    * Approximate: recall is tuned by numPlanes (bucket granularity) and
+    * numTables (independent chances to collide). */
+  def lshNearDups(df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
+                  numPlanes: Int = 8, numTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val normalized = normalizedVecs(df, idCol, vecCol)
+    val dim = Similarity.vecDim(df, vecCol)
+    val tables = (0 until numTables).map { t =>
+      struct(lit(t).as("t"),
+        Similarity.lshBucket(col("v"), Similarity.hyperplaneSigns(numPlanes, dim, seed + 1000 * t)).as("b"))
+    }
+    val buckets = normalized.select(col("id"), explode(array(tables: _*)).as("tb"))
+    val aSide = buckets.select(col("tb"), col("id").as("id_a"))
+    val bSide = buckets.select(col("tb"), col("id").as("id_b"))
+    val cand = aSide.join(bSide, Seq("tb")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(normalized.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(normalized.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

@@ -55,13 +55,18 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding dimensionality, read from one row (metadata-cheap limit-1
+    * scan) — LSH planes need the static dim before planning. */
+  def vecDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+
   /** LSH-bucketed ANN: bucket corpus + queries with `numTables` independent
     * sign-LSH tables, join per (table, bucket), exact-cosine re-rank, top-k.
     * Recall/cost tradeoff via numPlanes (bucket granularity) and numTables. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               queryIdCol: String, k: Int, numPlanes: Int = 8, numTables: Int = 4,
               seed: Long = 42L): DataFrame = {
-    val dim = 64 // embeddings table dimension (TESTDATA)
+    val dim = vecDim(corpus, vecCol)
     val tables = (0 until numTables).map { t =>
       val planes = hyperplaneSigns(numPlanes, dim, seed + 1000 * t)
       (t, planes)

@@ -103,26 +103,44 @@ object TableChecks {
 
   // --------------------------------------------------------------------- drift
 
-  /** Two-sample Kolmogorov–Smirnov statistic over a (discrete or discretized)
+  /** Two-sample Kolmogorov–Smirnov statistic over a (discrete or continuous)
     * column. Each side is first reduced to per-value counts (full shuffle of
-    * COUNTS only, domain-sized), then one window pass over the tiny domain
-    * computes both empirical CDFs; D = max |cdf_a - cdf_b|.
-    * For `n_tok` the domain is ≤ 8192 values, so the window never sees more
-    * than that many rows regardless of input scale. */
-  def ksStatistic(current: DataFrame, baseline: DataFrame, column: String): DataFrame = {
+    * COUNTS only, domain-sized); the empirical CDFs then come from a
+    * DISTRIBUTED two-phase prefix sum — range-partition the distinct values,
+    * per-partition running sums (windows partitioned by range-partition id,
+    * so no partition ever holds more than ~|domain|/P rows), then add each
+    * partition's exclusive offset, computed from the ≤P-row partition-totals
+    * table by a triangular self-join. No global single-partition window
+    * anywhere, so a continuous column at 100× scale still parallelizes. */
+  def ksStatistic(current: DataFrame, baseline: DataFrame, column: String,
+                  rangeParts: Int = 64): DataFrame = {
     val a = current.groupBy(col(column).cast(DoubleType).as("v"))
       .agg(count(lit(1)).as("ca")).withColumn("cb", lit(0L))
     val b = baseline.groupBy(col(column).cast(DoubleType).as("v"))
       .agg(count(lit(1)).as("cb")).withColumn("ca", lit(0L))
     val merged = a.select("v", "ca", "cb").unionByName(b.select("v", "ca", "cb"))
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-    val w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    val tot = merged.agg(sum("ca").as("na"), sum("cb").as("nb")).collect()(0)
-    val (na, nb) = (tot.getLong(0), tot.getLong(1))
-    merged
-      .withColumn("cdf_a", sum("ca").over(w) / lit(na.toDouble))
-      .withColumn("cdf_b", sum("cb").over(w) / lit(nb.toDouble))
-      .agg(max(abs(col("cdf_a") - col("cdf_b"))).as("ks_stat"))
+    val ranged = merged.repartitionByRange(rangeParts, col("v"))
+      .withColumn("pid", spark_partition_id())
+    val wLocal = Window.partitionBy("pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.select(col("v"), col("pid"),
+      sum("ca").over(wLocal).as("la"), sum("cb").over(wLocal).as("lb"))
+    val tot = ranged.groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    // exclusive prefix offsets over the ≤P-row totals: triangular self-join
+    // (P² ≤ 4096 rows) instead of a global window — keeps the plan free of
+    // single-partition stages even in its metadata step.
+    val off = tot.as("x").join(tot.as("y"), col("y.pid") < col("x.pid"), "left")
+      .groupBy(col("x.pid").as("pid"))
+      .agg(coalesce(sum(col("y.ta")), lit(0L)).as("oa"),
+           coalesce(sum(col("y.tb")), lit(0L)).as("ob"))
+    val grand = tot.agg(sum("ta").as("na"), sum("tb").as("nb"))
+    local.join(broadcast(off), Seq("pid"))
+      .crossJoin(broadcast(grand))
+      .agg(max(abs(
+        (col("la") + col("oa")).cast(DoubleType) / col("na").cast(DoubleType) -
+        (col("lb") + col("ob")).cast(DoubleType) / col("nb").cast(DoubleType)))
+        .as("ks_stat"))
   }
 
   /** KS as a scalar plus the asymptotic two-sample p-value
