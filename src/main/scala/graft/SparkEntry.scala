@@ -501,18 +501,18 @@ object SparkEntry {
            FROM ranked WHERE rank <= 3""",
 
       "q_near_dup_cosine" ->
-        """WITH n AS (SELECT vec_id id,
-             list_transform(embedding, x -> x::DOUBLE /
-               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) v
+        """WITH n AS (SELECT vec_id id, embedding::DOUBLE[] v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
            FROM embeddings WHERE vec_id < 200)
            SELECT a.id id_a, b.id id_b,
-             round(list_dot_product(a.v, b.v), 6) AS cosine
+             round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
            FROM n a JOIN n b ON a.id < b.id
-           WHERE list_dot_product(a.v, b.v) >= 0.3""",
+           WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3""",
 
       "q_lsh_near_dup" -> {
         // identical deterministic hyperplanes to Dedup.lshNearDups(4 planes,
-        // 4 tables, seed 42): sign arrays embedded as literal constants
+        // 4 tables, seed 42): sign arrays embedded as literal constants;
+        // bucketing signs are computed on the RAW vectors (norm-invariant)
         val bucketSelects = (0 until 4).map { tIdx =>
           val planes = Similarity.hyperplaneSigns(4, 64, 42L + 1000 * tIdx)
           val bucket = planes.zipWithIndex.map { case (p, i) =>
@@ -521,15 +521,16 @@ object SparkEntry {
           }.mkString(" + ")
           s"SELECT id, $tIdx t, $bucket b FROM n"
         }.mkString(" UNION ALL ")
-        s"""WITH n AS (SELECT vec_id id, list_transform(embedding, x -> x::DOUBLE /
-             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) v
+        s"""WITH n AS (SELECT vec_id id, embedding::DOUBLE[] v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
            FROM embeddings),
            bk AS ($bucketSelects),
            cand AS (SELECT DISTINCT a.id id_a, b2.id id_b FROM bk a
              JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.id < b2.id)
-           SELECT id_a, id_b, round(list_dot_product(na.v, nb.v), 6) AS cosine
+           SELECT id_a, id_b,
+             round(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm), 6) AS cosine
            FROM cand JOIN n na ON na.id = cand.id_a JOIN n nb ON nb.id = cand.id_b
-           WHERE list_dot_product(na.v, nb.v) >= 0.3"""
+           WHERE list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm) >= 0.3"""
       },
 
       "q_ann_lsh" -> {

@@ -194,10 +194,10 @@ object ConstraintCompiler {
               condCov(branchCov(sub, ctx, target, st), target.getField(key).isNotNull)
             }.reduceOption(mergeCov).getOrElse(Map.empty)
           case RefK(ref) if !ctx.refStack.contains(ref) =>
-            propCoverage(SchemaParser.parseNode(ctx.doc.resolveRef(ref)),
+            propCoverage(ctx.doc.resolveRefNode(ref),
               ctx.copy(refStack = ctx.refStack + ref), target, st)
           case DynamicRefK(ref) if !ctx.refStack.contains(ref) =>
-            propCoverage(SchemaParser.parseNode(ctx.doc.resolveDynamicRef(ref)),
+            propCoverage(ctx.doc.resolveDynamicRefNode(ref),
               ctx.copy(refStack = ctx.refStack + ref), target, st)
           case _ => Map.empty
         }
@@ -297,7 +297,7 @@ object ConstraintCompiler {
               itemCoverage(sub, ctx, target, dt), quietValid(sub, ctx, target, dt)), !c)))
               .getOrElse(cov)
           case RefK(ref) if !ctx.refStack.contains(ref) =>
-            mergeItemCov(cov, itemCoverage(SchemaParser.parseNode(ctx.doc.resolveRef(ref)),
+            mergeItemCov(cov, itemCoverage(ctx.doc.resolveRefNode(ref),
               ctx.copy(refStack = ctx.refStack + ref), target, dt))
           case _ => cov
         }
@@ -802,8 +802,7 @@ object ConstraintCompiler {
         if (ctx.refStack.contains(ref))
           throw new IllegalArgumentException(
             s"unsupported: \\$$ref cycle without data descent at $ref")
-        val raw = ctx.doc.resolveRef(ref)
-        val sub = SchemaParser.parseNode(raw)
+        val sub = ctx.doc.resolveRefNode(ref)
         Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
           target, dt, loc("$ref"), instLoc))
 
@@ -813,7 +812,7 @@ object ConstraintCompiler {
         if (ctx.refStack.contains(ref))
           throw new IllegalArgumentException(
             s"unsupported: \\$$dynamicRef cycle without data descent at $ref")
-        val sub = SchemaParser.parseNode(ctx.doc.resolveDynamicRef(ref))
+        val sub = ctx.doc.resolveDynamicRefNode(ref)
         Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
           target, dt, loc("$dynamicRef"), instLoc))
 

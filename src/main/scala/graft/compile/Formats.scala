@@ -80,10 +80,18 @@ object Formats {
   private val hostnameLabel = "[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
   private val hostnameRe = s"^$hostnameLabel(\\.$hostnameLabel)*\\.?$$"
 
-  // email: local@domain; local = dot-atom (no quoted strings — reference
-  // accepts more via net/mail, we pin the dot-atom subset), domain = hostname.
+  // email: local@domain (RFC5321 grammar, the one the reference's net/mail
+  // call accepts, pkg/format/email.go:42-99):
+  //   local  = dot-atom | quoted-string ("..." with qtextSMTP / quoted-pair)
+  //   domain = hostname | [IPv4-literal] | [IPv6:IPv6-literal]
   private val atext = "[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+"
-  private val emailRe = s"^$atext(\\.$atext)*@$hostnameLabel(\\.$hostnameLabel)*$$"
+  private val quotedLocal = "\"([\\x20-\\x21\\x23-\\x5B\\x5D-\\x7E]|\\\\[\\x20-\\x7E])*\""
+  private val snum = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  private val addrLiteral =
+    s"\\[($snum(\\.$snum){3}|[Ii][Pp][Vv]6:[0-9A-Fa-f:.]+)\\]"
+  private val emailLocalRe = s"($atext(\\.$atext)*|$quotedLocal)"
+  private val emailDomainRe = s"($hostnameLabel(\\.$hostnameLabel)*|$addrLiteral)"
+  private val emailRe = s"^$emailLocalRe@$emailDomainRe$$"
 
   // json-pointer: "" or (/ (unescaped | ~0 | ~1)*)* (pkg/format/jsonpointer.go:15-49)
   private val jsonPointerRe = "^(/([^~]|~[01])*)*$"
@@ -91,11 +99,57 @@ object Formats {
   private val relJsonPointerRe = "^(0|[1-9][0-9]*)(#|(/([^~]|~[01])*)*)$"
 
   // uri / uri-reference: RFC3986 shape. scheme:... with no spaces/control;
-  // extra checks from uri.go:94-120 (no backslash, no bare spaces).
+  // extra checks mirroring the reference's checkURI (uri.go:94-120):
+  //  - percent signs must start a valid %XX escape (url.Parse rejects bad ones)
+  //  - a host containing a bare (unbracketed) IPv6 address is rejected
+  //  - no backslash anywhere (testsuite; uriIriReferenceFormat rejects \\)
   private val schemeRe = "[A-Za-z][A-Za-z0-9+.-]*"
   private val uriTailRe = "[^\\s\\\\]*"
   private val uriRe = s"^$schemeRe:$uriTailRe$$"
   private val uriRefRe = s"^$uriTailRe$$"
+  private def uriExtraChecks(c: Column): Column =
+    !c.rlike("%(?![0-9A-Fa-f]{2})") &&           // malformed percent-escape
+    !c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\\[\\]@]*:[^/?#\\[\\]@]*:") // bare IPv6 host
+
+  // idn-email: RFC6531 — the same grammar with Unicode letters/marks/digits
+  // admitted in the local atoms and domain labels (email.go:28-37).
+  private val idnAtext = "[\\p{L}\\p{M}\\p{N}!#$%&'*+/=?^_`{|}~-]+"
+  private val idnDomLabel = "[\\p{L}\\p{N}][\\p{M}]*(([\\p{L}\\p{M}\\p{N}-])*[\\p{L}\\p{N}][\\p{M}]*)?"
+  private val idnEmailRe =
+    s"^($idnAtext(\\.$idnAtext)*|$quotedLocal)@($idnDomLabel(\\.$idnDomLabel)*|$addrLiteral)$$"
+
+  // idn-hostname: Unicode labels with the RFC5892 contextual rules the
+  // reference hand-checks (hostname.go:83-135): disallowed runes; U+00B7 only
+  // between 'l's; Greek numeral sign before Greek; Hebrew geresh/gershayim
+  // after Hebrew; katakana middle dot only with Japanese/Han present; no
+  // underscores. RFC3490 alternative stops count as label separators.
+  private val idnStops = "\\.\u3002\uFF0E\uFF61"
+  private val idnChar = "[\\p{L}\\p{M}\\p{N}\u00B7\u0375\u05F3\u05F4\u30FB-]"
+  private val idnLabel = s"(?![-\\p{M}])$idnChar{1,63}(?<!-)"
+  private val idnHostnameRe = s"^$idnLabel([$idnStops]$idnLabel)*[$idnStops]?$$"
+  private def validIdnHostname(c: Column): Column =
+    c.rlike(idnHostnameRe) &&
+    !c.rlike("[\u0640\u07FA\u302E\u302F\u3031-\u3035\u303B_]") &&
+    !c.rlike("(?<!l)\u00B7") && !c.rlike("\u00B7(?!l)") &&
+    !c.rlike("\u0375(?!\\p{IsGreek})") &&
+    !c.rlike("(?<!\\p{IsHebrew})[\u05F3\u05F4]") &&
+    (!c.contains("\u30FB") || c.rlike("[\\p{IsHiragana}\\p{IsKatakana}\\p{IsHan}]")) &&
+    length(c) <= 253
+
+  /** format:regex — a REAL parse (reference: `regexp/syntax` Perl parse,
+    * pkg/format/regex.go:15-24) via a deterministic UDF over Java's Pattern.
+    * Data-dependent regex validity cannot be a static Column expression; the
+    * UDF sits off the whole-stage-codegen path, so a schema applying
+    * format:regex to a data column trades codegen for fidelity. (The
+    * compile-time `pattern`-argument check stays static and exact.)
+    * Dialect note: Java accepts a superset of Go's RE2 (backreferences,
+    * lookaround), so some Go-invalid patterns pass; structural garbage —
+    * unbalanced groups/classes, bad escapes — is rejected identically. */
+  private lazy val regexValid =
+    udf { s: String =>
+      s == null || (try { java.util.regex.Pattern.compile(s); true }
+                    catch { case _: Exception => false })
+    }
 
   /** User-registered format validators — the extension point mirroring
     * `RegisterFormatValidator` (`internal/validator/validator.go:1237-1244`,
@@ -124,19 +178,17 @@ object Formats {
     },
     "duration" -> validDuration,
     "email" -> (c => c.rlike(emailRe) && length(c) <= 254),
-    "idn-email" -> (c => c.rlike(emailRe) && length(c) <= 254),
+    "idn-email" -> (c => c.rlike(idnEmailRe) && length(c) <= 254),
     "hostname" -> (c => c.rlike(hostnameRe) && length(c) <= 253),
-    "idn-hostname" -> (c => c.rlike(hostnameRe) && length(c) <= 253),
+    "idn-hostname" -> validIdnHostname,
     "json-pointer" -> (c => c.rlike(jsonPointerRe)),
     "relative-json-pointer" -> (c => c.rlike(relJsonPointerRe)),
-    "uri" -> (c => c.rlike(uriRe)),
-    "uri-reference" -> (c => c.rlike(uriRefRe)),
-    "iri" -> (c => c.rlike(uriRe)),
-    "iri-reference" -> (c => c.rlike(uriRefRe)),
-    // format:regex — validity of the *value* as a regex is data-dependent;
-    // approximate with a balanced-ish check (full parity needs a UDF; the
-    // compile-time case — pattern args — is checked exactly in the compiler).
-    "regex" -> (c => !c.rlike("[\\[\\(\\{]$"))
+    // URIs are ASCII by RFC3986 — the IRI forms admit non-ASCII
+    "uri" -> (c => c.rlike(uriRe) && uriExtraChecks(c) && !c.rlike("[^\\x00-\\x7F]")),
+    "uri-reference" -> (c => c.rlike(uriRefRe) && uriExtraChecks(c) && !c.rlike("[^\\x00-\\x7F]")),
+    "iri" -> (c => c.rlike(uriRe) && uriExtraChecks(c)),
+    "iri-reference" -> (c => c.rlike(uriRefRe) && uriExtraChecks(c)),
+    "regex" -> (c => regexValid(c))
   )
 
   def predicate(format: String): Option[Column => Column] =

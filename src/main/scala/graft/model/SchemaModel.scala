@@ -95,31 +95,94 @@ final case class DynamicRefK(ref: String)               extends Keyword { val na
 final case class AnnotationK(name: String, value: JValue) extends Keyword
 
 /** A parsed schema document: root node + raw tree for `$ref`/`$defs`
-  * resolution + `$anchor`/`$dynamicAnchor` symbol tables (document-order
-  * first-wins, so the outermost anchor shadows inner ones). */
+  * resolution + symbol tables.
+  *
+  * `$id`-scoped resolution (mirrors the reference's `resolveIDs`/`resolveURI`
+  * walk, `pkg/draft202012/builder.go:149-224,408-473`): every subschema with
+  * `$id` opens an embedded RESOURCE whose absolute URI (resolved against the
+  * enclosing base) keys `resources`; `$anchor`/`$dynamicAnchor` names are
+  * scoped to their enclosing resource in `scopedAnchors`/`scopedDynAnchors`.
+  * `$ref` strings are ABSOLUTIZED against the in-scope base at parse time
+  * (see SchemaParser.parseNode), so resolution here needs no positional
+  * context. URIs not found in this document fall through to `SchemaLoader`
+  * (bundled metaschemas, registered documents, user loader hooks) — the
+  * analogue of the reference's `SetLoader` (pkg/types/schema/schema.go:1040-1052).
+  *
+  * The legacy flat `anchors`/`dynamicAnchors` tables (document-order
+  * first-wins) are kept as the fallback for single-resource documents. */
 final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
                            anchors: Map[String, JValue],
-                           dynamicAnchors: Map[String, JValue] = Map.empty) {
+                           dynamicAnchors: Map[String, JValue] = Map.empty,
+                           baseUri: String = "",
+                           resources: Map[String, JValue] = Map.empty,
+                           scopedAnchors: Map[(String, String), JValue] = Map.empty,
+                           scopedDynAnchors: Map[(String, String), JValue] = Map.empty) {
+
+  private def splitRef(ref: String): (String, String) = {
+    val i = ref.indexOf('#')
+    if (i < 0) (ref, "") else (ref.take(i), ref.drop(i + 1))
+  }
+
+  private def fragmentIn(res: JValue, resBase: String, frag: String,
+                         ref: String): (JValue, String) = frag match {
+    case "" => (res, resBase)
+    case f if f.startsWith("/") => (SchemaParser.jsonPointer(res, f), resBase)
+    case a => scopedAnchors.get((resBase, a)).orElse(anchors.get(a))
+      // a $dynamicAnchor also creates a plain anchor for non-dynamic $refs
+      .orElse(scopedDynAnchors.get((resBase, a))).orElse(dynamicAnchors.get(a))
+      .map((_, resBase))
+      .getOrElse(throw new IllegalArgumentException(s"unknown anchor in $ref"))
+  }
+
+  /** Resolve a (parse-time absolutized) `$ref` to (raw subtree, base URI the
+    * subtree's own refs resolve against). */
+  def resolveRefWithBase(ref: String): (JValue, String) = {
+    val (uriPart, frag) = splitRef(ref)
+    if (uriPart.isEmpty || uriPart == baseUri) fragmentIn(rawRoot, baseUri, frag, ref)
+    else resources.get(uriPart) match {
+      case Some(res) => fragmentIn(res, uriPart, frag, ref)
+      case None => SchemaLoader.resolve(uriPart) match {
+        case Some((ownerDoc, res, resBase)) =>
+          ownerDoc.fragmentIn(res, resBase, frag, ref)
+        case None => throw new IllegalArgumentException(
+          s"unresolvable \\$$ref: $ref (no \\$$id resource, no registered loader)")
+      }
+    }
+  }
 
   /** Resolve a `$ref` string to the referenced raw subtree.
-    * Supports "#", "#/json/pointer", "#anchor". Remote refs unsupported
-    * (the reference errors without a Loader too, schema.go:1044). */
-  def resolveRef(ref: String): JValue = ref match {
-    case "#" => rawRoot
-    case r if r.startsWith("#/") => SchemaParser.jsonPointer(rawRoot, r.drop(1))
-    case r if r.startsWith("#") =>
-      anchors.getOrElse(r.drop(1),
-        throw new IllegalArgumentException(s"unknown anchor: $r"))
-    case r => anchors.getOrElse(r,
-      throw new IllegalArgumentException(s"unresolvable non-local \\$$ref: $r"))
+    * Supports "#", "#/json/pointer", "#anchor", and absolute `$id` URIs. */
+  def resolveRef(ref: String): JValue = resolveRefWithBase(ref)._1
+
+  /** Resolve and parse under the target resource's base URI, so refs inside
+    * the resolved subtree absolutize against the RIGHT base. */
+  def resolveRefNode(ref: String): SchemaNode = {
+    val (raw, base) = resolveRefWithBase(ref)
+    SchemaParser.parseNode(raw, base)
   }
 
   /** `$dynamicRef` resolution: outermost `$dynamicAnchor` first (the static
     * approximation of the runtime anchor stack, validate.go:84-182), falling
     * back to plain `$ref` semantics when no dynamic anchor matches. */
-  def resolveDynamicRef(ref: String): JValue = {
-    val name = if (ref.startsWith("#")) ref.drop(1) else ref
-    dynamicAnchors.get(name).getOrElse(resolveRef(ref))
+  def resolveDynamicRef(ref: String): JValue = resolveDynamicRefWithBase(ref)._1
+
+  private def resolveDynamicRefWithBase(ref: String): (JValue, String) = {
+    val (uriPart, frag) = splitRef(ref)
+    val local = uriPart.isEmpty || uriPart == baseUri || resources.contains(uriPart)
+    if (local)
+      dynamicAnchors.get(frag).map((_, baseUri)).getOrElse(resolveRefWithBase(ref))
+    else SchemaLoader.resolve(uriPart) match {
+      // the static dynamic-scope approximation stays within the OWNING
+      // document: its outermost $dynamicAnchor of that name wins
+      case Some((ownerDoc, _, _)) if ownerDoc ne this =>
+        ownerDoc.resolveDynamicRefWithBase(s"#$frag")
+      case _ => resolveRefWithBase(ref)
+    }
+  }
+
+  def resolveDynamicRefNode(ref: String): SchemaNode = {
+    val (raw, base) = resolveDynamicRefWithBase(ref)
+    SchemaParser.parseNode(raw, base)
   }
 }
 
@@ -138,11 +201,74 @@ object SchemaParser {
   def parseCached(jsonText: String): SchemaDoc =
     parseMemo.getOrElseUpdate(jsonText, parse(jsonText))
 
-  def parseJValue(raw: JValue): SchemaDoc = {
+  def parseJValue(raw: JValue): SchemaDoc = parseJValue(raw, "")
+
+  /** Parse with a retrieval base URI (the URI the document was loaded from,
+    * if any) — the document's own top-level `$id` takes precedence. */
+  def parseJValue(raw: JValue, retrievalUri: String): SchemaDoc = {
     val anchors = collectAnchors(raw, "$anchor", Map.empty)
     val dynAnchors = collectAnchors(raw, "$dynamicAnchor", Map.empty)
-    SchemaDoc(parseNode(raw), raw, anchors, dynAnchors)
+    val rootBase = raw match {
+      case o: JObject => o \ "$id" match {
+        case JString(id) => resolveUri(retrievalUri, stripFragment(id))
+        case _ => retrievalUri
+      }
+      case _ => retrievalUri
+    }
+    val tables = collectScoped(raw, rootBase, ScopedTables())
+    SchemaDoc(parseNode(raw, retrievalUri), raw, anchors, dynAnchors,
+      baseUri = rootBase, resources = tables.resources,
+      scopedAnchors = tables.anchors, scopedDynAnchors = tables.dynAnchors)
   }
+
+  private final case class ScopedTables(
+      resources: Map[String, JValue] = Map.empty,
+      anchors: Map[(String, String), JValue] = Map.empty,
+      dynAnchors: Map[(String, String), JValue] = Map.empty)
+
+  /** Walk collecting `$id` resources and resource-scoped anchors. First
+    * occurrence wins on duplicate URIs/names (duplicate `$id`s are a schema
+    * authoring error; we keep the outermost, like the flat anchor walk). */
+  private def collectScoped(v: JValue, base: String, acc: ScopedTables): ScopedTables = v match {
+    case o: JObject =>
+      val newBase = o \ "$id" match {
+        case JString(id) => resolveUri(base, stripFragment(id))
+        case _ => base
+      }
+      var t = acc
+      if (newBase.nonEmpty && newBase != base && !t.resources.contains(newBase))
+        t = t.copy(resources = t.resources + (newBase -> o))
+      o \ "$anchor" match {
+        case JString(a) if !t.anchors.contains((newBase, a)) =>
+          t = t.copy(anchors = t.anchors + ((newBase, a) -> o))
+        case _ =>
+      }
+      o \ "$dynamicAnchor" match {
+        case JString(a) if !t.dynAnchors.contains((newBase, a)) =>
+          t = t.copy(dynAnchors = t.dynAnchors + ((newBase, a) -> o))
+        case _ =>
+      }
+      o.obj.foldLeft(t) { case (m, (_, child)) => collectScoped(child, newBase, m) }
+    case JArray(items) => items.foldLeft(acc)((m, c) => collectScoped(c, base, m))
+    case _ => acc
+  }
+
+  /** RFC3986 reference resolution; empty base leaves the ref untouched
+    * (single-document schemas keep their local "#..." form). */
+  private[model] def resolveUri(base: String, ref: String): String =
+    if (base.isEmpty) ref
+    else if (ref.isEmpty) base
+    else try new java.net.URI(base).resolve(new java.net.URI(ref)).toString
+    catch { case _: Exception => ref }
+
+  private def stripFragment(uri: String): String = {
+    val i = uri.indexOf('#')
+    if (i < 0) uri else uri.take(i)
+  }
+
+  /** Absolutize a `$ref`/`$dynamicRef` value against the in-scope base. */
+  private def absolutizeRef(base: String, ref: String): String =
+    if (base.isEmpty) ref else resolveUri(base, ref)
 
   /** Pre-order walk collecting `$anchor` / `$dynamicAnchor` names. First
     * occurrence wins, so the OUTERMOST anchor shadows inner ones — the static
@@ -160,10 +286,19 @@ object SchemaParser {
     case _ => acc
   }
 
-  def parseNode(v: JValue): SchemaNode = v match {
+  def parseNode(v: JValue): SchemaNode = parseNode(v, "")
+
+  /** Parse under a base URI: a subschema `$id` re-bases its children, and
+    * `$ref`/`$dynamicRef` values absolutize against the in-scope base (so the
+    * compiled RefK needs no positional context at resolution time). */
+  def parseNode(v: JValue, base: String): SchemaNode = v match {
     case JBool(b) => BoolSchema(b)
     case o: JObject =>
-      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv) }.toVector
+      val newBase = o \ "$id" match {
+        case JString(id) => resolveUri(base, stripFragment(id))
+        case _ => base
+      }
+      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv, newBase) }.toVector
       ObjSchema(kws)
     case other =>
       throw new IllegalArgumentException(s"schema must be object or boolean, got $other")
@@ -191,14 +326,14 @@ object SchemaParser {
     case JArray(items) => items.map(str)
     case other => throw new IllegalArgumentException(s"expected string array, got $other")
   }
-  private def schemas(v: JValue): Vector[SchemaNode] = v match {
-    case JArray(items) => items.map(parseNode).toVector
+  private def schemas(v: JValue, base: String): Vector[SchemaNode] = v match {
+    case JArray(items) => items.map(parseNode(_, base)).toVector
     case other => throw new IllegalArgumentException(s"expected schema array, got $other")
   }
 
   /** One keyword → zero-or-one typed Keyword. Unknown keywords are retained
     * as always-valid annotations, matching schema.go:521-532. */
-  private def parseKeyword(k: String, v: JValue): Option[Keyword] = Some(k match {
+  private def parseKeyword(k: String, v: JValue, base: String): Option[Keyword] = Some(k match {
     case "type" => v match {
       case JString(s) => TypeK(Set(s))
       case JArray(items) => TypeK(items.map(str).toSet)
@@ -219,9 +354,9 @@ object SchemaParser {
     case "pattern" => PatternK(str(v))
     case "format" => FormatK(str(v))
     case "default" => DefaultK(v)
-    case "items" => ItemsK(parseNode(v))
-    case "prefixItems" => PrefixItemsK(schemas(v))
-    case "contains" => ContainsK(parseNode(v))
+    case "items" => ItemsK(parseNode(v, base))
+    case "prefixItems" => PrefixItemsK(schemas(v, base))
+    case "contains" => ContainsK(parseNode(v, base))
     case "minContains" => MinContainsK(int(v))
     case "maxContains" => MaxContainsK(int(v))
     case "minItems" => MinItemsK(int(v))
@@ -231,22 +366,22 @@ object SchemaParser {
       case other => throw new IllegalArgumentException(s"bad uniqueItems: $other")
     })
     case "properties" => v match {
-      case o: JObject => PropertiesK(o.obj.map { case (n, s) => n -> parseNode(s) }.toVector)
+      case o: JObject => PropertiesK(o.obj.map { case (n, s) => n -> parseNode(s, base) }.toVector)
       case other => throw new IllegalArgumentException(s"bad properties: $other")
     }
     case "patternProperties" => v match {
-      case o: JObject => PatternPropertiesK(o.obj.map { case (n, s) => n -> parseNode(s) }.toVector)
+      case o: JObject => PatternPropertiesK(o.obj.map { case (n, s) => n -> parseNode(s, base) }.toVector)
       case other => throw new IllegalArgumentException(s"bad patternProperties: $other")
     }
-    case "additionalProperties" => AdditionalPropertiesK(parseNode(v))
-    case "propertyNames" => PropertyNamesK(parseNode(v))
+    case "additionalProperties" => AdditionalPropertiesK(parseNode(v, base))
+    case "propertyNames" => PropertyNamesK(parseNode(v, base))
     case "required" => RequiredK(strings(v))
     case "dependentRequired" => v match {
       case o: JObject => DependentRequiredK(o.obj.map { case (n, l) => n -> strings(l) }.toVector)
       case other => throw new IllegalArgumentException(s"bad dependentRequired: $other")
     }
     case "dependentSchemas" => v match {
-      case o: JObject => DependentSchemasK(o.obj.map { case (n, s) => n -> parseNode(s) }.toVector)
+      case o: JObject => DependentSchemasK(o.obj.map { case (n, s) => n -> parseNode(s, base) }.toVector)
       case other => throw new IllegalArgumentException(s"bad dependentSchemas: $other")
     }
     // draft-7 `dependencies`: list form = dependentRequired, schema form =
@@ -255,25 +390,25 @@ object SchemaParser {
       case o: JObject =>
         val (reqs, schs) = o.obj.partition { case (_, JArray(_)) => true; case _ => false }
         if (schs.isEmpty) DependentRequiredK(reqs.map { case (n, l) => n -> strings(l) }.toVector)
-        else if (reqs.isEmpty) DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s) }.toVector)
+        else if (reqs.isEmpty) DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s, base) }.toVector)
         else return Some(AllOfLike(
           DependentRequiredK(reqs.map { case (n, l) => n -> strings(l) }.toVector),
-          DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s) }.toVector)))
+          DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s, base) }.toVector)))
       case other => throw new IllegalArgumentException(s"bad dependencies: $other")
     }
     case "minProperties" => MinPropertiesK(int(v))
     case "maxProperties" => MaxPropertiesK(int(v))
-    case "allOf" => AllOfK(schemas(v))
-    case "anyOf" => AnyOfK(schemas(v))
-    case "oneOf" => OneOfK(schemas(v))
-    case "not" => NotK(parseNode(v))
-    case "if" => IfK(parseNode(v))
-    case "then" => ThenK(parseNode(v))
-    case "else" => ElseK(parseNode(v))
-    case "$ref" => RefK(str(v))
-    case "$dynamicRef" => DynamicRefK(str(v))
-    case "unevaluatedProperties" => UnevaluatedPropertiesK(parseNode(v))
-    case "unevaluatedItems" => UnevaluatedItemsK(parseNode(v))
+    case "allOf" => AllOfK(schemas(v, base))
+    case "anyOf" => AnyOfK(schemas(v, base))
+    case "oneOf" => OneOfK(schemas(v, base))
+    case "not" => NotK(parseNode(v, base))
+    case "if" => IfK(parseNode(v, base))
+    case "then" => ThenK(parseNode(v, base))
+    case "else" => ElseK(parseNode(v, base))
+    case "$ref" => RefK(absolutizeRef(base, str(v)))
+    case "$dynamicRef" => DynamicRefK(absolutizeRef(base, str(v)))
+    case "unevaluatedProperties" => UnevaluatedPropertiesK(parseNode(v, base))
+    case "unevaluatedItems" => UnevaluatedItemsK(parseNode(v, base))
     // identifier / annotation keywords: always valid (keywords.go:20-75,337-412)
     case other => AnnotationK(other, v)
   })

@@ -76,22 +76,37 @@ object Dedup {
     * |A∪B| = |A|+|B|-shared. Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def jaccardPairs(df: DataFrame, idCol: String, tokensCol: String,
                    minJaccard: Double, maxDocFreq: Int = 1000): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles3(col(tokensCol)).as("sh"))
+    // nondeterministic no-op guard: stops CollapseProject from substituting
+    // the (interpreted HOF) shingle construction into every downstream
+    // reference — `n_sh = size(sh)` and the explode must read the SAME
+    // materialized array, not rebuild it (measured 2× cost without this).
+    val sh = df.select(col(idCol).as("id"),
+        when(spark_partition_id() >= 0, shingles3(col(tokensCol))).as("sh"))
       .withColumn("n_sh", size(col("sh")))
       .filter(col("n_sh") > 0)
+    // The expensive part is shingle CONSTRUCTION (interpreted HOFs over the
+    // token array) — it must run in exactly ONE scan. A self-join on the
+    // exploded table would recompute it per join side (and a groupBy
+    // frequency pass a third time), so instead: group the single exploded
+    // pass into per-shingle posting lists, drop hot shingles (posting list >
+    // maxDocFreq — stop-shingles whose pair fan-out is O(F²), the standard
+    // web-scale guard), and generate co-occurring pairs INSIDE each list.
+    // The wide exchanges carry only (shingle, id) and (id_a, id_b).
+    // (id, n_sh) rides along into the posting lists so nothing ever needs to
+    // re-derive shingles for the per-doc set sizes.
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
-    // cap stop-shingles: a shingle in > maxDocFreq docs generates O(F²) pairs.
-    // The hot list comes from a map-side-combined count aggregation (shuffles
-    // only (shingle, count)) and is tiny by construction, so it broadcasts
-    // into an anti-join — no sort-shuffle of the full exploded table.
-    val hotShingles = exploded.groupBy("s").agg(count(lit(1)).as("_f"))
-      .filter(col("_f") > maxDocFreq).select("s")
-    val freqOk = exploded.join(broadcast(hotShingles), Seq("s"), "left_anti")
-    val a = freqOk.select(col("id").as("id_a"), col("n_sh").as("n_a"), col("s"))
-    val b = freqOk.select(col("id").as("id_b"), col("n_sh").as("n_b"), col("s"))
-    a.join(b, Seq("s")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"),
-        first("n_a").as("n_a"), first("n_b").as("n_b"))
+    val postings = exploded.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+    // ordered pairs within each posting list: (ids[i], ids[j]) for i < j
+    val pairs = postings.select(explode(flatten(transform(col("ids"),
+      (x, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+        y => struct(
+          x.getField("id").as("id_a"), x.getField("n_sh").as("n_a"),
+          y.getField("id").as("id_b"), y.getField("n_sh").as("n_b")))))).as("p"))
+      .select(col("p.*"))
+    pairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"), first("n_a").as("n_a"), first("n_b").as("n_b"))
       .withColumn("jaccard", col("shared").cast("double") /
         (col("n_a") + col("n_b") - col("shared")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -184,12 +199,13 @@ object Dedup {
         sort_array(collect_list(col("id"))).as("ids"))
       .filter(col("dup_count") > 1)
 
-  private def normalizedVecs(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    val norm = sqrt(aggregate(col(vecCol), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    df.select(col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / norm).as("v"))
-  }
+  /** (id, raw vector, L2 norm): the norm is computed ONCE per row and carried
+    * as a scalar — normalizing the array in place would either rebuild the
+    * norm aggregate per element (HOF lambda bodies re-evaluate their
+    * subexpressions) or fight CollapseProject; cosine is dot/(n_a·n_b). */
+  private def vecsWithNorm(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.l2norm(col(vecCol)).as("n"))
 
   /** Embedding-cosine near-duplicates: pairs with cosine ≥ threshold.
     * Delegates to the sign-LSH bucketed path unless the table is small enough
@@ -206,12 +222,11 @@ object Dedup {
   /** Exact O(n²) near-dup pairs — small-n baseline ONLY (cartesian). */
   def bruteForceNearDups(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double): DataFrame = {
-    val normalized = normalizedVecs(df, idCol, vecCol)
-    val a = normalized.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = normalized.select(col("id").as("id_b"), col("v").as("v_b"))
+    val vn = vecsWithNorm(df, idCol, vecCol)
+    val a = vn.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a"))
+    val b = vn.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", zip_with(col("v_a"), col("v_b"), (x, y) => x * y)
-        .pipe(s => aggregate(s, lit(0.0d), (acc, x) => acc + x)))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
@@ -223,21 +238,21 @@ object Dedup {
     * numTables (independent chances to collide). */
   def lshNearDups(df: DataFrame, idCol: String, vecCol: String, minCosine: Double,
                   numPlanes: Int = 8, numTables: Int = 4, seed: Long = 42L): DataFrame = {
-    val normalized = normalizedVecs(df, idCol, vecCol)
+    val vn = vecsWithNorm(df, idCol, vecCol)
     val dim = Similarity.vecDim(df, vecCol)
     val tables = (0 until numTables).map { t =>
       struct(lit(t).as("t"),
         Similarity.lshBucket(col("v"), Similarity.hyperplaneSigns(numPlanes, dim, seed + 1000 * t)).as("b"))
     }
-    val buckets = normalized.select(col("id"), explode(array(tables: _*)).as("tb"))
+    val buckets = vn.select(col("id"), explode(array(tables: _*)).as("tb"))
     val aSide = buckets.select(col("tb"), col("id").as("id_a"))
     val bSide = buckets.select(col("tb"), col("id").as("id_b"))
     val cand = aSide.join(bSide, Seq("tb")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(normalized.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
-      .join(normalized.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
-      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")))
+      .join(vn.select(col("id").as("id_a"), col("v").as("v_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(vn.select(col("id").as("id_b"), col("v").as("v_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

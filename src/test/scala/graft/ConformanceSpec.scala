@@ -21,9 +21,12 @@ import org.json4s.jackson.JsonMethods
 class ConformanceSpec extends SparkSpec {
 
   test("conformance corpus") {
-    val text = scala.io.Source.fromInputStream(
-      getClass.getResourceAsStream("/conformance/cases.json"), "UTF-8").mkString
-    val JArray(groups) = JsonMethods.parse(text): @unchecked
+    val groups = Seq("/conformance/cases.json", "/conformance/cases2.json").flatMap { f =>
+      val text = scala.io.Source.fromInputStream(
+        getClass.getResourceAsStream(f), "UTF-8").mkString
+      val JArray(gs) = JsonMethods.parse(text): @unchecked
+      gs
+    }
 
     val failures = scala.collection.mutable.Buffer[String]()
     var total = 0

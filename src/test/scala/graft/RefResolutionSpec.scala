@@ -1,0 +1,157 @@
+package graft
+
+import graft.model.{SchemaLoader, SchemaParser}
+import graft.row.RowValidator
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterEach
+
+case class RefDoc(name: String, score: Long)
+
+/** `$id`-scoped reference resolution (reference:
+  * pkg/draft202012/builder.go:149-224,408-473), the SchemaLoader hook
+  * (schema.go:1040-1052) and the bundled draft 2020-12 metaschemas
+  * (pkg/draft202012/meta.go:15-23). */
+class RefResolutionSpec extends SparkSpec with BeforeAndAfterEach {
+  import spark.implicits._
+
+  override def afterEach(): Unit = SchemaLoader.reset()
+
+  private def violationsOf(schema: String): Map[String, Long] = {
+    val df = Seq(RefDoc("ok", 5), RefDoc("bad", -3)).toDF()
+    RowValidator.violations(df, SchemaParser.parse(schema), "name")
+      .collect().groupBy(_.getAs[String]("keyword"))
+      .view.mapValues(_.length.toLong).toMap
+  }
+
+  test("$ref to an embedded $id resource by absolute URI") {
+    val schema =
+      """{
+        "$id": "https://example.test/root.json",
+        "type": "object",
+        "properties": {
+          "score": {"$ref": "https://example.test/score.json"}
+        },
+        "$defs": {
+          "scoreDef": {"$id": "https://example.test/score.json",
+                       "type": "integer", "minimum": 0}
+        }
+      }"""
+    assert(violationsOf(schema) == Map("minimum" -> 1L))
+  }
+
+  test("relative $ref resolves against the enclosing $id base") {
+    val schema =
+      """{
+        "$id": "https://example.test/schemas/root.json",
+        "type": "object",
+        "properties": {
+          "score": {"$ref": "score.json"}
+        },
+        "$defs": {
+          "scoreDef": {"$id": "score.json", "type": "integer", "minimum": 0}
+        }
+      }"""
+    // $defs/scoreDef's $id absolutizes to https://example.test/schemas/score.json,
+    // and the relative $ref "score.json" must land on it
+    assert(violationsOf(schema) == Map("minimum" -> 1L))
+  }
+
+  test("anchors are scoped to their enclosing $id resource") {
+    val schema =
+      """{
+        "$id": "https://example.test/root.json",
+        "type": "object",
+        "properties": {
+          "score": {"$ref": "https://example.test/nums.json#pos"}
+        },
+        "$defs": {
+          "decoy": {"$anchor": "pos", "type": "string"},
+          "nums": {
+            "$id": "https://example.test/nums.json",
+            "$defs": {"p": {"$anchor": "pos", "type": "integer", "minimum": 0}}
+          }
+        }
+      }"""
+    // the root-resource "pos" anchor (a string schema) must NOT win: the ref
+    // names the nums.json resource, whose scoped "pos" anchor is minimum: 0
+    assert(violationsOf(schema) == Map("minimum" -> 1L))
+  }
+
+  test("nested $id re-bases refs inside the resolved resource") {
+    val schema =
+      """{
+        "$id": "https://example.test/a/root.json",
+        "type": "object",
+        "properties": {
+          "score": {"$ref": "https://other.test/mid.json"}
+        },
+        "$defs": {
+          "mid": {
+            "$id": "https://other.test/mid.json",
+            "$ref": "leaf.json"
+          },
+          "leaf": {"$id": "https://other.test/leaf.json",
+                   "type": "integer", "minimum": 0}
+        }
+      }"""
+    // inside mid.json, "leaf.json" must resolve against https://other.test/,
+    // not the root document's base
+    assert(violationsOf(schema) == Map("minimum" -> 1L))
+  }
+
+  test("SchemaLoader hook supplies external documents (SetLoader analogue)") {
+    SchemaLoader.addLoader {
+      case "https://registry.test/score-schema.json" => Some(
+        """{
+          "$id": "https://registry.test/score-schema.json",
+          "$ref": "#/$defs/s",
+          "$defs": {"s": {"type": "integer", "minimum": 0}}
+        }""")
+      case _ => None
+    }
+    val schema =
+      """{
+        "type": "object",
+        "properties": {
+          "score": {"$ref": "https://registry.test/score-schema.json"}
+        }
+      }"""
+    // the loaded document's own internal "#/$defs/s" ref must resolve inside
+    // the LOADED document, not the referring one
+    assert(violationsOf(schema) == Map("minimum" -> 1L))
+  }
+
+  test("unresolvable remote ref without a loader errors like the reference") {
+    val schema =
+      """{"type": "object",
+         "properties": {"score": {"$ref": "https://nowhere.test/x.json"}}}"""
+    val e = intercept[IllegalArgumentException](violationsOf(schema))
+    assert(e.getMessage.contains("no registered loader"))
+  }
+
+  test("bundled metaschema: $ref to a 2020-12 vocab meta-schema compiles") {
+    // validate schema-shaped rows against the meta-data vocabulary metaschema
+    case class MetaDoc(title: String, description: String)
+    val df = Seq(("t", "d")).toDF("title", "description")
+    val doc = SchemaParser.parse(
+      """{"$ref": "https://json-schema.org/draft/2020-12/meta/meta-data"}""")
+    val v = RowValidator.violations(df.withColumn("id", lit("r0")), doc, "id")
+    assert(v.count() == 0)
+  }
+
+  test("bundled metaschema: the full draft 2020-12 meta-schema resolves") {
+    val doc = SchemaParser.parse(
+      """{"$ref": "https://json-schema.org/draft/2020-12/schema"}""")
+    // resolution-level check: the root metaschema and every vocab file it
+    // references load and parse (compilation against a concrete DataType is
+    // exercised by the meta-data case above)
+    val node = doc.resolveRefNode("https://json-schema.org/draft/2020-12/schema")
+    assert(node.isInstanceOf[graft.model.ObjSchema])
+    val core = doc.resolveRefNode("https://json-schema.org/draft/2020-12/meta/core")
+    assert(core.isInstanceOf[graft.model.ObjSchema])
+    // cross-document pointer ref into a loaded metaschema resource
+    val sa = doc.resolveRefNode(
+      "https://json-schema.org/draft/2020-12/meta/validation#/$defs/stringArray")
+    assert(sa.isInstanceOf[graft.model.ObjSchema])
+  }
+}
