@@ -19,6 +19,9 @@ object PlanAudit {
       "q_tdigest_ntok", "q_json_ingest")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // execute first: under AQE the pre-execution plan is the INITIAL one,
+      // which renders no WholeStageCodegen stages — the final plan does
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.executedPlan.toString
       val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
         .map(_.take(90)).toSeq.distinct

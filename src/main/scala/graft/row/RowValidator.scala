@@ -75,14 +75,15 @@ object RowValidator {
     ConstraintCompiler.compile(doc, col(valueCol), field.dataType, opts).valid
   }
 
-  /** Apply `default` values before validation — `coalesce(col, default)` per
-    * top-level property carrying a default (mirrors ApplyDefaults,
-    * validator.go:468-517; skipped for required fields like :468).
-    * prefixItems element defaults (:281-297) are not applied — fixed-width
-    * array defaulting has no natural analogue over variable-length token
-    * arrays; documented limitation. */
+  /** Apply `default` values before validation (mirrors ApplyDefaults):
+    *  - per top-level property carrying a default: `coalesce(col, default)`
+    *    (validator.go:468-517; skipped for required fields like :468);
+    *  - per prefixItems element schema carrying a default: a ZERO element
+    *    (null / 0 / "" / false — Go's reflect.IsZero, validator.go:281-297)
+    *    at position i is replaced by prefixItems[i]'s default. */
   def applyDefaults(df: DataFrame, doc: SchemaDoc): DataFrame = {
     import graft.model._
+    import org.apache.spark.sql.types._
     doc.root match {
       case ObjSchema(kws) =>
         val required: Set[String] =
@@ -90,13 +91,36 @@ object RowValidator {
         val props = kws.collectFirst { case PropertiesK(ps) => ps }.getOrElse(Vector.empty)
         props.foldLeft(df) { case (acc, (name, sub)) =>
           sub match {
-            case ObjSchema(inner) if !required(name) && acc.columns.contains(name) =>
-              inner.collectFirst { case DefaultK(v) => v } match {
-                case Some(jv) =>
-                  val fieldType = acc.schema(name).dataType
-                  jvLit(jv).map(l => acc.withColumn(name, coalesce(col(name), l.cast(fieldType))))
-                    .getOrElse(acc)
-                case None => acc
+            case ObjSchema(inner) if acc.columns.contains(name) =>
+              val fieldType = acc.schema(name).dataType
+              val afterScalar =
+                if (required(name)) acc
+                else inner.collectFirst { case DefaultK(v) => v }.flatMap(jvLit)
+                  .map(l => acc.withColumn(name, coalesce(col(name), l.cast(fieldType))))
+                  .getOrElse(acc)
+              fieldType match {
+                case at: ArrayType =>
+                  val defs = inner.collectFirst { case PrefixItemsK(ss) => ss }
+                    .map(_.zipWithIndex.flatMap {
+                      case (ObjSchema(ks), idx) =>
+                        ks.collectFirst { case DefaultK(v) => v }.flatMap(jvLit).map(idx -> _)
+                      case _ => None
+                    }).getOrElse(Vector.empty)
+                  if (defs.isEmpty) afterScalar
+                  else {
+                    val isZero = (x: Column) => at.elementType match {
+                      case _: NumericType => x.isNull || x === lit(0)
+                      case StringType     => x.isNull || x === lit("")
+                      case BooleanType    => x.isNull || !x
+                      case _              => x.isNull
+                    }
+                    afterScalar.withColumn(name, transform(col(name), (x, i) =>
+                      defs.foldLeft(x) { case (cur, (idx, d)) =>
+                        when(i === lit(idx) && isZero(x), d.cast(at.elementType))
+                          .otherwise(cur)
+                      }))
+                  }
+                case _ => afterScalar
               }
             case _ => acc
           }

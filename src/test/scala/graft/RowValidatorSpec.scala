@@ -89,6 +89,27 @@ class RowValidatorSpec extends SparkSpec {
     assert(out.filter(col("source") === "books").count() == 1)
   }
 
+  test("applyDefaults fills zero prefixItems elements (validator.go:281-297)") {
+    val schema = """{
+      "properties": {
+        "tokens": {"type": "array", "prefixItems": [
+          {"type": "integer", "default": 7},
+          {"type": "integer"},
+          {"type": "integer", "default": 9}
+        ]}
+      }
+    }"""
+    // Go's reflect.IsZero semantics: 0 (or null) at a defaulted prefix
+    // position takes the default; non-zero values and positions beyond the
+    // prefix are untouched
+    val df = Seq((goodId, Seq(0, 0, 0, 0)), (goodId, Seq(5, 0, 2, 0)))
+      .toDF("doc_id", "tokens")
+    val out = RowValidator.applyDefaults(df, SchemaParser.parse(schema))
+      .select("tokens").collect().map(_.getSeq[Int](0))
+    assert(out(0) == Seq(7, 0, 9, 0))
+    assert(out(1) == Seq(5, 0, 2, 0))
+  }
+
   test("numeric keywords apply to parseable strings (reference quirk validator.go:1275-1281)") {
     val schema = """{"properties": {"s": {"minimum": 10}}}"""
     val df = Seq(("a", "5"), ("b", "15"), ("c", "xyz")).toDF("id", "s")
