@@ -62,14 +62,28 @@ object ConstraintCompiler {
   private def tryCastDouble(c: Column): Column =
     GraftSql.toColumn(Cast(GraftSql.toExpression(c), DoubleType, None, EvalMode.TRY))
 
-  private case class Ctx(doc: SchemaDoc, opts: CompileOpts, refStack: Set[String]) {
+  /** @param dynScope the stack of (owning document, resource base URI)
+    *        entered so far — compile-time inlining follows the same traversal
+    *        as runtime validation, so this IS the spec's dynamic scope for
+    *        `\$dynamicRef` (outermost-first resolution). Data descent keeps
+    *        the scope but clears `refStack`: recursion through `\$ref` is
+    *        legal (and terminates) whenever the finite DataType descends. */
+  private case class Ctx(doc: SchemaDoc, opts: CompileOpts, refStack: Set[String],
+                         dynScope: Vector[(SchemaDoc, String)]) {
     def conformance: Boolean = !opts.nullIsAbsent
+    def descend: Ctx = if (refStack.isEmpty) this else copy(refStack = Set.empty)
   }
+
+  private def pushScope(scope: Vector[(SchemaDoc, String)], owner: SchemaDoc,
+                        base: String): Vector[(SchemaDoc, String)] =
+    if (scope.nonEmpty && (scope.last._1 eq owner) && scope.last._2 == base) scope
+    else scope :+ ((owner, base))
 
   /** Entry point: compile `doc` to run against a column of type `dt`. */
   def compile(doc: SchemaDoc, target: Column, dt: DataType,
               opts: CompileOpts = CompileOpts()): Compiled =
-    compileNode(doc.root, Ctx(doc, opts, Set.empty), target, dt, "#", lit("#"))
+    compileNode(doc.root, Ctx(doc, opts, Set.empty, Vector((doc, doc.baseUri))),
+      target, dt, "#", lit("#"))
 
   // ------------------------------------------------------------------
   private def compileNode(node: SchemaNode, ctx: Ctx, target: Column,
@@ -79,7 +93,19 @@ object ConstraintCompiler {
       case BoolSchema(false) =>
         simple(lit(false), "$bool", kwLoc, instLoc, lit("schema is false"))
       case s: ObjSchema =>
-        val raw = compileObj(s, ctx, target, dt, kwLoc, instLoc)
+        // a nested `$id` opens a new resource in the dynamic scope even when
+        // entered by direct nesting rather than by reference
+        val ctx1 = s.keywords.collectFirst {
+          case AnnotationK("$id", JString(id)) => id.takeWhile(_ != '#')
+        } match {
+          case Some(id) if ctx.dynScope.nonEmpty =>
+            val base = SchemaParser.resolveUri(ctx.dynScope.last._2, id)
+            if (base.nonEmpty)
+              ctx.copy(dynScope = pushScope(ctx.dynScope, ctx.dynScope.last._1, base))
+            else ctx
+          case _ => ctx
+        }
+        val raw = compileObj(s, ctx1, target, dt, kwLoc, instLoc)
         if (ctx.opts.nullIsAbsent) {
           // table semantics: null target = absent → every keyword valid
           Compiled(target.isNull || raw.valid,
@@ -226,7 +252,7 @@ object ConstraintCompiler {
           case covOpt =>
             val covered = covOpt.flatten.getOrElse(lit(false))
             val child = target.getField(f.name)
-            val inner = compileNode(sub, ctx, child, f.dataType,
+            val inner = compileNode(sub, ctx.descend, child, f.dataType,
               s"$kwLoc/unevaluatedProperties",
               concat(instLoc, lit(s"/${escapePtr(f.name)}")))
             val viol =
@@ -254,7 +280,7 @@ object ConstraintCompiler {
           !k.isin(covered: _*) &&
             !pats.map(_._1).foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
         val bad = filter(uncov, k =>
-          !compileNode(sub, ctx, element_at(target, k), vt,
+          !compileNode(sub, ctx.descend, element_at(target, k), vt,
             s"$kwLoc/unevaluatedProperties", instLoc).valid)
         simple(target.isNull || size(bad) === 0, "unevaluatedProperties",
           s"$kwLoc/unevaluatedProperties", instLoc,
@@ -360,7 +386,7 @@ object ConstraintCompiler {
           // shared subexpression: count of matching elements — feeds
           // contains/minContains/maxContains (the Notes channel, statically)
           val matchCount = size(filter(target,
-            x => compileNode(sub, ctx, x, et, s"$kwLoc/contains", instLoc).valid))
+            x => compileNode(sub, ctx.descend, x, et, s"$kwLoc/contains", instLoc).valid))
           // peephole: sibling minContains:0 makes bare `contains` always-valid
           // (validator.go:389-400)
           val needOne = !minC.contains(0L)
@@ -392,7 +418,7 @@ object ConstraintCompiler {
         val prefixChecks: Seq[Compiled] = prefix.toSeq.flatten.zipWithIndex.map {
           case (sub, i) =>
             val el = element_at(target, i + 1)
-            val c = compileNode(sub, ctx, el, et, s"$kwLoc/prefixItems/$i",
+            val c = compileNode(sub, ctx.descend, el, et, s"$kwLoc/prefixItems/$i",
               concat(instLoc, lit(s"/$i")))
             // element i only constrained when it exists (validator.go:283-302);
             // null instance → keyword ignored
@@ -420,12 +446,12 @@ object ConstraintCompiler {
           // skipped, validator.go:342); guards also stop HOF null-propagation
           val valid = (if (k == 0) nativeItemsPred(sub, et, ctx, target) else None)
             .getOrElse(target.isNull || coalesce(forall(transform(target,
-              (x, i) => i < k || compileNode(sub, ctx, x, et, s"$kwLoc/items", instLoc).valid),
+              (x, i) => i < k || compileNode(sub, ctx.descend, x, et, s"$kwLoc/items", instLoc).valid),
               b => b), lit(true)))
           val viols = flatten(filter(
             transform(target, (x, i) =>
               when(i >= k,
-                compileNode(sub, ctx, x, et, s"$kwLoc/items",
+                compileNode(sub, ctx.descend, x, et, s"$kwLoc/items",
                   concat(instLoc, lit("/"), i.cast(StringType))).violations)
               .otherwise(emptyViolations)),
             a => size(a) > 0))
@@ -496,7 +522,7 @@ object ConstraintCompiler {
         val propChecks = props.flatMap { case (name, sub) =>
           st.fields.find(_.name == name).map { f =>
             val child = target.getField(name)
-            compileNode(sub, ctx, child, f.dataType,
+            compileNode(sub, ctx.descend, child, f.dataType,
               s"$kwLoc/properties/${escapePtr(name)}",
               concat(instLoc, lit(s"/${escapePtr(name)}")))
           } // absent field → property not present → valid (skip)
@@ -505,7 +531,7 @@ object ConstraintCompiler {
           val re = java.util.regex.Pattern.compile(pat)
           fieldNames.filter(n => re.matcher(n).find()).map { n =>
             val fdt = st.fields.find(_.name == n).get.dataType
-            compileNode(sub, ctx, target.getField(n), fdt,
+            compileNode(sub, ctx.descend, target.getField(n), fdt,
               s"$kwLoc/patternProperties/${escapePtr(pat)}",
               concat(instLoc, lit(s"/${escapePtr(n)}")))
           }
@@ -518,7 +544,7 @@ object ConstraintCompiler {
           uncovered.map { n =>
             val fdt = st.fields.find(_.name == n).get.dataType
             val child = target.getField(n)
-            val inner = compileNode(ap.schema, ctx, child, fdt,
+            val inner = compileNode(ap.schema, ctx.descend, child, fdt,
               s"$kwLoc/additionalProperties",
               concat(instLoc, lit(s"/${escapePtr(n)}")))
             // only constrains *present* fields; message mirrors
@@ -537,7 +563,7 @@ object ConstraintCompiler {
         val props = propsK.map(_.props).getOrElse(Vector.empty)
         val propChecks = props.map { case (name, sub) =>
           val v = element_at(target, lit(name))
-          val inner = compileNode(sub, ctx, v, vt,
+          val inner = compileNode(sub, ctx.descend, v, vt,
             s"$kwLoc/properties/${escapePtr(name)}",
             concat(instLoc, lit(s"/${escapePtr(name)}")))
           Compiled(v.isNull || inner.valid,
@@ -545,7 +571,7 @@ object ConstraintCompiler {
         }
         val patChecks = patPropsK.toSeq.flatMap(_.pats).map { case (pat, sub) =>
           val badKeys = filter(map_keys(target), k =>
-            k.rlike(pat) && !compileNode(sub, ctx, element_at(target, k), vt,
+            k.rlike(pat) && !compileNode(sub, ctx.descend, element_at(target, k), vt,
               s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc).valid)
           simple(size(badKeys) === 0, "patternProperties",
             s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc,
@@ -558,7 +584,7 @@ object ConstraintCompiler {
           val uncoveredKeys = filter(map_keys(target), k =>
             !k.isin(covered: _*) && !pats.foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
           val badKeys = filter(uncoveredKeys, k =>
-            !compileNode(ap.schema, ctx, element_at(target, k), vt,
+            !compileNode(ap.schema, ctx.descend, element_at(target, k), vt,
               s"$kwLoc/additionalProperties", instLoc).valid)
           simple(size(badKeys) === 0, "additionalProperties",
             s"$kwLoc/additionalProperties", instLoc,
@@ -738,7 +764,7 @@ object ConstraintCompiler {
             lit(s"property names not allowed: ${bad.mkString(",")}")))
         case MapType(StringType, _, _) =>
           val p = forall(map_keys(target), k =>
-            compileNode(sub, ctx, k, StringType, loc("propertyNames"), instLoc).valid)
+            compileNode(sub, ctx.descend, k, StringType, loc("propertyNames"), instLoc).valid)
           Some(simple(target.isNull || p, "propertyNames", loc("propertyNames"), instLoc,
             lit("a property name does not match propertyNames schema")))
         case _ => None
@@ -802,18 +828,39 @@ object ConstraintCompiler {
         if (ctx.refStack.contains(ref))
           throw new IllegalArgumentException(
             s"unsupported: \\$$ref cycle without data descent at $ref")
-        val sub = ctx.doc.resolveRefNode(ref)
-        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
+        val (rawT, baseT, ownerT) = ctx.doc.resolveRefFull(ref)
+        val sub = SchemaParser.parseNode(rawT, baseT)
+        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref,
+            dynScope = pushScope(ctx.dynScope, ownerT, baseT)),
           target, dt, loc("$ref"), instLoc))
 
       case DynamicRefK(ref) =>
-        // static outermost-anchor resolution (exact for non-recursive schemas;
-        // SURVEY §7.4.2); cycles without data descent rejected like $ref.
+        // dynamic-scope resolution (validate.go:84-182): resolve like $ref
+        // first; if the target is a $dynamicAnchor of the same name
+        // (bookending), re-resolve against the OUTERMOST resource in the
+        // compile-time entry stack defining that anchor. The compile-time
+        // inlining path equals the runtime validation path, so ctx.dynScope
+        // is exact. Cycles without data descent rejected like $ref.
         if (ctx.refStack.contains(ref))
           throw new IllegalArgumentException(
             s"unsupported: \\$$dynamicRef cycle without data descent at $ref")
-        val sub = ctx.doc.resolveDynamicRefNode(ref)
-        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref),
+        val fragIdx = ref.indexOf('#')
+        val frag = if (fragIdx < 0) "" else ref.substring(fragIdx + 1)
+        val (raw0, base0, owner0) = ctx.doc.resolveRefFull(ref)
+        val bookended = frag.nonEmpty && !frag.startsWith("/") && (raw0 match {
+          case o: JObject => (o \ "$dynamicAnchor") == JString(frag)
+          case _ => false
+        })
+        val (rawT, baseT, ownerT) =
+          if (bookended)
+            ctx.dynScope.collectFirst {
+              case (d, b) if d.scopedDynAnchors.contains((b, frag)) =>
+                (d.scopedDynAnchors((b, frag)), b, d)
+            }.getOrElse((raw0, base0, owner0))
+          else (raw0, base0, owner0)
+        val sub = SchemaParser.parseNode(rawT, baseT)
+        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref,
+            dynScope = pushScope(ctx.dynScope, ownerT, baseT)),
           target, dt, loc("$dynamicRef"), instLoc))
 
       case AnnotationK(name, v) =>

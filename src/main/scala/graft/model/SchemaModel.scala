@@ -135,19 +135,27 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
   }
 
   /** Resolve a (parse-time absolutized) `$ref` to (raw subtree, base URI the
-    * subtree's own refs resolve against). */
-  def resolveRefWithBase(ref: String): (JValue, String) = {
+    * subtree's own refs resolve against, owning document). */
+  def resolveRefFull(ref: String): (JValue, String, SchemaDoc) = {
     val (uriPart, frag) = splitRef(ref)
-    if (uriPart.isEmpty || uriPart == baseUri) fragmentIn(rawRoot, baseUri, frag, ref)
-    else resources.get(uriPart) match {
-      case Some(res) => fragmentIn(res, uriPart, frag, ref)
+    if (uriPart.isEmpty || uriPart == baseUri) {
+      val (j, b) = fragmentIn(rawRoot, baseUri, frag, ref); (j, b, this)
+    } else resources.get(uriPart) match {
+      case Some(res) =>
+        val (j, b) = fragmentIn(res, uriPart, frag, ref); (j, b, this)
       case None => SchemaLoader.resolve(uriPart) match {
         case Some((ownerDoc, res, resBase)) =>
-          ownerDoc.fragmentIn(res, resBase, frag, ref)
+          val (j, b) = ownerDoc.fragmentIn(res, resBase, frag, ref)
+          (j, b, ownerDoc)
         case None => throw new IllegalArgumentException(
           s"unresolvable \\$$ref: $ref (no \\$$id resource, no registered loader)")
       }
     }
+  }
+
+  /** Resolve a `$ref` to (raw subtree, base URI). */
+  def resolveRefWithBase(ref: String): (JValue, String) = {
+    val (j, b, _) = resolveRefFull(ref); (j, b)
   }
 
   /** Resolve a `$ref` string to the referenced raw subtree.
@@ -255,7 +263,7 @@ object SchemaParser {
 
   /** RFC3986 reference resolution; empty base leaves the ref untouched
     * (single-document schemas keep their local "#..." form). */
-  private[model] def resolveUri(base: String, ref: String): String =
+  private[graft] def resolveUri(base: String, ref: String): String =
     if (base.isEmpty) ref
     else if (ref.isEmpty) base
     else try new java.net.URI(base).resolve(new java.net.URI(ref)).toString

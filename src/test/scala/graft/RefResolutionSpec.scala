@@ -139,6 +139,57 @@ class RefResolutionSpec extends SparkSpec with BeforeAndAfterEach {
     assert(v.count() == 0)
   }
 
+  test("recursive $ref terminates by data descent (tree schema)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val leaf = StructType(Seq(StructField("w", IntegerType)))
+    val mid = StructType(Seq(StructField("w", IntegerType),
+      StructField("children", ArrayType(leaf))))
+    val top = StructType(Seq(StructField("w", IntegerType),
+      StructField("children", ArrayType(mid))))
+    val df = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1, Seq(Row(2, Seq(Row(-3))), Row(4, Seq(Row(5))))),
+      Row(1, Seq(Row(2, Seq(Row(3)))))), top)
+    val schema =
+      """{"type": "object",
+         "properties": {
+           "w": {"type": "integer", "minimum": 0},
+           "children": {"type": "array", "items": {"$ref": "#"}}}}"""
+    val c = graft.compile.ConstraintCompiler.compile(SchemaParser.parse(schema),
+      struct(df.columns.map(col): _*), df.schema)
+    val got = df.select(c.valid).collect().map(_.getBoolean(0)).toSeq
+    // first row has a nested w = -3 two levels down; second row is clean
+    assert(got == Seq(false, true))
+  }
+
+  test("$dynamicRef resolves in the dynamic scope (generic-list extension)") {
+    // the classic 2020-12 pattern: a generic list whose item schema is a
+    // $dynamicAnchor; an extending resource re-binds the anchor. Static $ref
+    // semantics would accept anything (the generic default); dynamic-scope
+    // semantics must use the extender's number/minimum binding.
+    val schema =
+      """{
+        "$id": "https://dyn.test/number-list",
+        "$ref": "https://dyn.test/list",
+        "$defs": {
+          "num": {"$dynamicAnchor": "item", "type": "number", "minimum": 0},
+          "list": {
+            "$id": "https://dyn.test/list",
+            "type": "array",
+            "items": {"$dynamicRef": "#item"},
+            "$defs": {"default-item": {"$dynamicAnchor": "item", "type": "number"}}
+          }
+        }
+      }"""
+    val df = Seq(Tuple1(Seq(1.0, 2.0)), Tuple1(Seq(1.0, -2.0))).toDF("value")
+    val ok = df.select(RowValidator.validColumn(df, schema,
+      opts = graft.compile.CompileOpts(nullIsAbsent = false)).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    // -2.0 violates the DYNAMIC binding (minimum 0); the generic list's own
+    // default-item (any number) would have accepted it
+    assert(ok == Seq(true, false))
+  }
+
   test("bundled metaschema: the full draft 2020-12 meta-schema resolves") {
     val doc = SchemaParser.parse(
       """{"$ref": "https://json-schema.org/draft/2020-12/schema"}""")
