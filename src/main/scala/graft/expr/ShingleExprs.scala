@@ -1,0 +1,116 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the dedup family's hot path.
+  *
+  * The HOF formulation (`sequence` + `transform` + `array_distinct`, then an
+  * `aggregate`/`zip_with` fold for MinHash) is CodegenFallback: ONE such
+  * expression anywhere in a projection knocks the whole operator out of
+  * whole-stage codegen into interpreted eval (~30× slower, measured in
+  * round 1). These expressions compute the identical results inside codegen
+  * via tight JVM loops, so the surrounding scan → project → explode pipeline
+  * stays fused.
+  *
+  * Semantics are bit-identical to the Column versions (and to the DuckDB
+  * oracle SQL): shingle s_i = t_i·2^24 + t_{i+1}·2^12 + t_{i+2} over longs,
+  * distinct with FIRST-occurrence order, null token → null shingle element;
+  * minhash_j = min over shingles of (a_j·(s mod P) + b_j) mod P with null
+  * shingles skipped, P = 2^31 − 1.
+  */
+object ShingleUtil {
+  val P: Long = 2147483647L
+
+  /** Distinct 3-gram shingles of an int-token array, first-occurrence order. */
+  def shingles3(tokens: ArrayData): ArrayData = {
+    val n = tokens.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n - 2)
+    val seen = new java.util.HashSet[Long]()
+    var seenNull = false
+    var i = 0
+    while (i < n - 2) {
+      if (tokens.isNullAt(i) || tokens.isNullAt(i + 1) || tokens.isNullAt(i + 2)) {
+        if (!seenNull) { out += null; seenNull = true }
+      } else {
+        val s = tokens.getInt(i).toLong * 16777216L +
+          tokens.getInt(i + 1).toLong * 4096L + tokens.getInt(i + 2).toLong
+        if (seen.add(s)) out += s
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** K running minima of (a_j·(s mod P) + b_j) mod P over the shingle array;
+    * null shingle elements are skipped (parity with `least` null handling). */
+  def minhash(shingles: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
+    val k = a.length
+    val acc = Array.fill(k)(P)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getLong(i)
+        val sm = ((s % P) + P) % P
+        var j = 0
+        while (j < k) {
+          val h = (sm * a(j) + b(j)) % P
+          if (h < acc(j)) acc(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(acc.map(x => x: Any))
+  }
+}
+
+/** `array<int>` tokens → `array<long>` distinct 3-gram shingles (codegen'd). */
+case class Shingles3(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.shingles3(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleUtil.shingles3($c)")
+  override protected def withNewChildInternal(c: Expression): Shingles3 = copy(child = c)
+}
+
+/** `array<long>` shingles → `array<long>` K-wide MinHash signature (codegen'd).
+  * Coefficients ride along as reference objects, not per-row literals. */
+case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long])
+    extends UnaryExpression {
+  require(a.length == b.length, "coefficient arrays must align")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.minhash(v.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("mhCoeffA", a, "long[]")
+    val bRef = ctx.addReferenceObj("mhCoeffB", b, "long[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleUtil.minhash($c, $aRef, $bRef)")
+  }
+  // Array fields compare by reference under case-class equality; compare by
+  // content so structurally identical signatures unify (CSE, canonicalization)
+  override def equals(o: Any): Boolean = o match {
+    case m: MinHashSignature =>
+      m.child == child && java.util.Arrays.equals(m.a, a) && java.util.Arrays.equals(m.b, b)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.hashCode(a)) + java.util.Arrays.hashCode(b)
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
+}
+
+object ShingleExprs {
+  def shingles3(tokens: Column): Column =
+    GraftSql.toColumn(Shingles3(GraftSql.toExpression(tokens)))
+  def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column =
+    GraftSql.toColumn(MinHashSignature(GraftSql.toExpression(shingles),
+      coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))
+}

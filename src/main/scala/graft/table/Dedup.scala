@@ -23,14 +23,10 @@ object Dedup {
   private val P = 2147483647L // 2^31 - 1
 
   /** Deterministic 3-gram shingles of a token array, as longs:
-    * s_i = t_i·2^20 + t_{i+1}·2^10 + t_{i+2} (tokens < 4096 < 2^12 keep this
-    * collision-free for vocab ≤ 1024; for 4096 use 2^24/2^12 spacing). */
-  def shingles3(tokens: Column): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(size(tokens) - 2, lit(0))),
-      i => element_at(tokens, i).cast("long") * lit(16777216L) +
-           element_at(tokens, i + 1).cast("long") * lit(4096L) +
-           element_at(tokens, i + 2).cast("long")))
+    * s_i = t_i·2^24 + t_{i+1}·2^12 + t_{i+2} (collision-free for vocab ≤ 4096).
+    * Native codegen'd Catalyst expression (graft.expr.Shingles3) — the HOF
+    * formulation was CodegenFallback and dominated every dedup query. */
+  def shingles3(tokens: Column): Column = graft.expr.ShingleExprs.shingles3(tokens)
 
   /** Hashes with more than one row — the (tiny) exact-dup candidate key set.
     * Only (hash, count) pairs shuffle, with map-side combine; the content
@@ -121,19 +117,13 @@ object Dedup {
     Seq.fill(k)((next(), next()))
   }
 
-  /** Full MinHash signature as ONE array column, computed in a single fold
+  /** Full MinHash signature as ONE array column, computed in a single pass
     * over the shingle set: acc_j ← min(acc_j, (a_j·(s mod P) + b_j) mod P).
-    * The shingle array is built exactly once per row — K separate
-    * `array_min(transform(shingles…))` trees would rebuild (and re-distinct)
-    * it K times in interpreted HOF eval, the round-1 hot spot. */
-  def minhashSignature(tokens: Column, coeffs: Seq[(Long, Long)]): Column = {
-    val cs = typedLit(coeffs) // array<struct<_1:a, _2:b>>
-    aggregate(
-      shingles3(tokens),
-      typedLit(Seq.fill(coeffs.size)(P)), // hashes are < P, so P acts as +∞
-      (acc, s) => zip_with(acc, cs, (m, c) =>
-        least(m, (pmod(s, lit(P)) * c.getField("_1") + c.getField("_2")) % lit(P))))
-  }
+    * Native codegen'd expression (graft.expr.MinHashSignature) — K separate
+    * `array_min(transform(shingles…))` trees rebuilt the shingle set K times
+    * in interpreted HOF eval, the round-1 hot spot. */
+  def minhashSignature(tokens: Column, coeffs: Seq[(Long, Long)]): Column =
+    graft.expr.ShingleExprs.minhashSignature(shingles3(tokens), coeffs)
 
   /** MinHash-LSH candidate pairs: K=16 hashes in 4 bands of 4; docs sharing
     * any band bucket become candidates; exact Jaccard verifies. The band join
