@@ -267,26 +267,63 @@ object ConstraintCompiler {
       }
       and(checks)
     case MapType(StringType, vt, _) =>
-      // dynamic keys: coverage from this schema's own properties /
-      // patternProperties / additionalProperties (nested-applicator coverage
-      // over open maps is out of scope — documented SURVEY §7.4.1)
-      val props = s.keywords.collectFirst { case PropertiesK(p) => p }.getOrElse(Vector.empty)
-      val pats = s.keywords.collectFirst { case PatternPropertiesK(p) => p }.getOrElse(Vector.empty)
-      val hasAdd = s.keywords.exists(_.isInstanceOf[AdditionalPropertiesK])
-      if (hasAdd) Compiled(lit(true), emptyViolations)
-      else {
-        val covered = props.map(_._1)
-        val uncov = filter(map_keys(target), k =>
-          !k.isin(covered: _*) &&
-            !pats.map(_._1).foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
-        val bad = filter(uncov, k =>
-          !compileNode(sub, ctx.descend, element_at(target, k), vt,
-            s"$kwLoc/unevaluatedProperties", instLoc).valid)
-        simple(target.isNull || size(bad) === 0, "unevaluatedProperties",
-          s"$kwLoc/unevaluatedProperties", instLoc,
-          concat(lit("unevaluated properties: "), array_join(bad, ",")))
-      }
+      // dynamic keys: a key is covered when evaluated by this schema's own
+      // properties / patternProperties / additionalProperties OR by any
+      // in-place applicator branch that PASSES (annotations only flow from
+      // passing schemas — same rule as the struct path's propCoverage)
+      val selfless = ObjSchema(s.keywords.filterNot(_.isInstanceOf[UnevaluatedPropertiesK]))
+      val covFn = mapKeyCoverage(selfless, ctx, target, dt)
+      val uncov = filter(map_keys(target), k => !covFn(k))
+      val bad = filter(uncov, k =>
+        !compileNode(sub, ctx.descend, element_at(target, k), vt,
+          s"$kwLoc/unevaluatedProperties", instLoc).valid)
+      simple(target.isNull || size(bad) === 0, "unevaluatedProperties",
+        s"$kwLoc/unevaluatedProperties", instLoc,
+        concat(lit("unevaluated properties: "), array_join(bad, ",")))
     case _ => Compiled(lit(true), emptyViolations)
+  }
+
+  /** Key-coverage predicate builder for MapType targets: given a key column,
+    * is that key evaluated by `node` or any passing in-place applicator? */
+  private def mapKeyCoverage(node: SchemaNode, ctx: Ctx, target: Column,
+                             dt: DataType): Column => Column = node match {
+    case BoolSchema(_) => _ => lit(false)
+    case ObjSchema(kws) =>
+      def gated(sub: SchemaNode, cond: Column): Column => Column = {
+        val f = mapKeyCoverage(sub, ctx, target, dt)
+        k => f(k) && cond
+      }
+      def branch(sub: SchemaNode): Column => Column =
+        gated(sub, quietValid(sub, ctx, target, dt))
+      val parts: Seq[Column => Column] = kws.flatMap {
+        case PropertiesK(props) if props.nonEmpty =>
+          Seq((k: Column) => k.isin(props.map(_._1): _*))
+        case PatternPropertiesK(pats) if pats.nonEmpty =>
+          Seq((k: Column) =>
+            pats.map(_._1).foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
+        case _: AdditionalPropertiesK | _: UnevaluatedPropertiesK =>
+          Seq((_: Column) => lit(true))
+        case AllOfK(ss) => ss.map(branch)
+        case AnyOfK(ss) => ss.map(branch)
+        case OneOfK(ss) => ss.map(branch)
+        case IfK(sub) => Seq(gated(sub, quietValid(sub, ctx, target, dt)))
+        case ThenK(sub) =>
+          kws.collectFirst { case IfK(i) => quietValid(i, ctx, target, dt) }
+            .map(c => gated(sub, c)).toSeq
+        case ElseK(sub) =>
+          kws.collectFirst { case IfK(i) => quietValid(i, ctx, target, dt) }
+            .map(c => gated(sub, !c)).toSeq
+        case DependentSchemasK(deps) =>
+          deps.map { case (key, sub) => gated(sub, map_contains_key(target, lit(key))) }
+        case RefK(ref) if !ctx.refStack.contains(ref) =>
+          Seq(mapKeyCoverage(ctx.doc.resolveRefNode(ref),
+            ctx.copy(refStack = ctx.refStack + ref), target, dt))
+        case DynamicRefK(ref) if !ctx.refStack.contains(ref) =>
+          Seq(mapKeyCoverage(ctx.doc.resolveDynamicRefNode(ref),
+            ctx.copy(refStack = ctx.refStack + ref), target, dt))
+        case _ => Nil
+      }
+      k => parts.foldLeft(lit(false))((acc, f) => acc || f(k))
   }
 
   /** Item-index coverage: covered prefix length, items-covers-all flag, and
@@ -732,6 +769,16 @@ object ConstraintCompiler {
             }
           }
           Some(and(checks))
+        case MapType(StringType, _, _) =>
+          val checks = deps.map { case (key, names) =>
+            val keyPresent = map_contains_key(target, lit(key))
+            val allThere = names.map(n => map_contains_key(target, lit(n)))
+              .reduceOption(_ && _).getOrElse(lit(true))
+            simple(target.isNull || !keyPresent || allThere, "dependentRequired",
+              loc("dependentRequired"), instLoc,
+              lit(s"properties required when \"$key\" is present: ${names.mkString(",")}"))
+          }
+          Some(and(checks))
         case _ => None
       }
 
@@ -746,6 +793,17 @@ object ConstraintCompiler {
               Some(Compiled(target.isNull || !keyPresent || inner.valid,
                 when(target.isNull || !keyPresent, emptyViolations).otherwise(inner.violations)))
             }
+          }
+          Some(and(checks))
+        case MapType(StringType, _, _) =>
+          // dynamic-key path: key presence is a runtime map_contains_key, the
+          // dependent schema applies to the whole map instance
+          val checks = deps.map { case (key, sub) =>
+            val keyPresent = map_contains_key(target, lit(key))
+            val inner = compileNode(sub, ctx, target, dt,
+              s"$kwLoc/dependentSchemas/${escapePtr(key)}", instLoc)
+            Compiled(target.isNull || !keyPresent || inner.valid,
+              when(target.isNull || !keyPresent, emptyViolations).otherwise(inner.violations))
           }
           Some(and(checks))
         case _ => None

@@ -49,9 +49,52 @@ class MapTypeSpec extends SparkSpec {
     assert(!valid(mapDf(Map("Bad-Key" -> 1)), s))
   }
 
+  test("dependentRequired over map keys") {
+    val s = """{"dependentRequired": {"credit": ["billing"]}}"""
+    assert(valid(mapDf(Map("name" -> 1)), s))                       // trigger absent
+    assert(valid(mapDf(Map("credit" -> 1, "billing" -> 2)), s))     // satisfied
+    assert(!valid(mapDf(Map("credit" -> 1)), s))                    // missing dep
+  }
+
+  test("dependentSchemas over map keys") {
+    val s = """{"dependentSchemas": {"credit": {"required": ["billing"], "minProperties": 2}}}"""
+    assert(valid(mapDf(Map("name" -> 1)), s))
+    assert(valid(mapDf(Map("credit" -> 1, "billing" -> 2)), s))
+    assert(!valid(mapDf(Map("credit" -> 1)), s))
+  }
+
   test("unevaluatedProperties over maps: uncovered keys checked") {
     val s = """{"properties": {"a": {}}, "unevaluatedProperties": {"maximum": 5}}"""
     assert(valid(mapDf(Map("a" -> 99, "x" -> 3)), s))
     assert(!valid(mapDf(Map("a" -> 99, "x" -> 7)), s))
+  }
+
+  test("unevaluatedProperties over maps sees through allOf") {
+    val s = """{"allOf": [{"properties": {"a": {}}}],
+               "properties": {"b": {}},
+               "unevaluatedProperties": false}"""
+    assert(valid(mapDf(Map("a" -> 1, "b" -> 2)), s))      // both covered
+    assert(!valid(mapDf(Map("a" -> 1, "c" -> 3)), s))     // c unevaluated
+  }
+
+  test("unevaluatedProperties over maps: if/then branch coverage is conditional") {
+    val s = """{
+      "if": {"required": ["kind"]},
+      "then": {"properties": {"alpha": {}}},
+      "else": {"properties": {"beta": {}}},
+      "properties": {"kind": {}},
+      "unevaluatedProperties": false}"""
+    assert(valid(mapDf(Map("kind" -> 1, "alpha" -> 2)), s))  // then-branch covers alpha
+    assert(!valid(mapDf(Map("kind" -> 1, "beta" -> 2)), s))  // beta only covered in else
+    assert(valid(mapDf(Map("beta" -> 2)), s))                // else-branch covers beta
+  }
+
+  test("unevaluatedProperties over maps: failing anyOf branch contributes no coverage") {
+    val s = """{"anyOf": [{"required": ["z"], "properties": {"x": {}}}, {"required": ["a"]}],
+               "properties": {"a": {}},
+               "unevaluatedProperties": false}"""
+    // first branch fails (no z) so its properties.x coverage must NOT apply
+    assert(!valid(mapDf(Map("a" -> 1, "x" -> 2)), s))
+    assert(valid(mapDf(Map("a" -> 1)), s))
   }
 }
