@@ -46,6 +46,32 @@ object ShingleUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** 32-bit SimHash over an int-token array: bit b of the signature is the
+    * sign of Σ_tokens (bit b of h(t) ? +1 : −1), h(t) = (a·t + b) mod P.
+    * Null tokens hash to a null contribution — skipped, like the HOF fold
+    * (which would null-poison; callers filter null tokens upstream, and the
+    * canonical token arrays are non-null by construction). */
+  def simhash32(tokens: ArrayData, a: Long, b: Long): Long = {
+    val counts = new Array[Int](32)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = (tokens.getInt(i).toLong * a + b) % P
+        var bit = 0
+        while (bit < 32) {
+          if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+          bit += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 32) { if (counts(bit) > 0) sig |= (1L << bit); bit += 1 }
+    sig
+  }
+
   /** K running minima of (a_j·(s mod P) + b_j) mod P over the shingle array;
     * null shingle elements are skipped (parity with `least` null handling). */
   def minhash(shingles: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
@@ -107,9 +133,22 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long])
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** `array<int>` tokens → 32-bit SimHash signature as bigint (codegen'd). */
+case class SimHash32(child: Expression, a: Long, b: Long) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.simhash32(v.asInstanceOf[ArrayData], a, b)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleUtil.simhash32($c, ${a}L, ${b}L)")
+  override protected def withNewChildInternal(c: Expression): SimHash32 = copy(child = c)
+}
+
 object ShingleExprs {
   def shingles3(tokens: Column): Column =
     GraftSql.toColumn(Shingles3(GraftSql.toExpression(tokens)))
+  def simhash32(tokens: Column, a: Long, b: Long): Column =
+    GraftSql.toColumn(SimHash32(GraftSql.toExpression(tokens), a, b))
   def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column =
     GraftSql.toColumn(MinHashSignature(GraftSql.toExpression(shingles),
       coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))

@@ -1,0 +1,101 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native vector primitives for the similarity/ANN family. The HOF forms
+  * (`zip_with` + `aggregate`) are CodegenFallback and re-enter the
+  * interpreter per element; these run as tight JVM loops inside whole-stage
+  * codegen. Numerics match the HOF forms exactly: sequential left-to-right
+  * double accumulation, null element or length mismatch → null result
+  * (`zip_with` pads with null, null poisons the fold). */
+object VectorUtil {
+  /** Dot product of two double arrays; null on length mismatch / null elems. */
+  def dot(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Sign-LSH bucket id over `numPlanes` hyperplanes (flattened row-major):
+    * bit i set iff dot(v, plane_i) > 0. A null/short vector sets no bit for
+    * that plane (null projection compares false), same as the Column form. */
+  def lshBucket(v: ArrayData, planes: Array[Double], numPlanes: Int): Long = {
+    val dim = planes.length / numPlanes
+    val n = v.numElements()
+    if (n != dim) return 0L
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return 0L; i += 1 }
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      var acc = 0.0
+      var d = 0
+      val off = p * dim
+      while (d < dim) { acc += v.getDouble(d) * planes(off + d); d += 1 }
+      if (acc > 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** `array<double> × array<double> → double` dot product (codegen'd). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotRes")
+      s"""java.lang.Double $tmp = graft.expr.VectorUtil.dot($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `array<double> → bigint` sign-LSH bucket id (codegen'd); the plane matrix
+  * rides along as a reference object, not per-row literals. */
+case class SignLshBucket(child: Expression, planes: Array[Double], numPlanes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorUtil.lshBucket(v.asInstanceOf[ArrayData], planes, numPlanes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    defineCodeGen(ctx, ev, c => s"graft.expr.VectorUtil.lshBucket($c, $pRef, $numPlanes)")
+  }
+  override def equals(o: Any): Boolean = o match {
+    case s: SignLshBucket => s.child == child && s.numPlanes == numPlanes &&
+      java.util.Arrays.equals(s.planes, planes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.hashCode(planes)) + numPlanes
+  override protected def withNewChildInternal(c: Expression): SignLshBucket = copy(child = c)
+}
+
+object VectorExprs {
+  private def asDoubleArray(c: Column): Column = c.cast("array<double>")
+  def dot(a: Column, b: Column): Column =
+    GraftSql.toColumn(DotProduct(GraftSql.toExpression(asDoubleArray(a)),
+      GraftSql.toExpression(asDoubleArray(b))))
+  def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
+    GraftSql.toColumn(SignLshBucket(GraftSql.toExpression(asDoubleArray(v)),
+      planes.flatten, planes.length))
+}

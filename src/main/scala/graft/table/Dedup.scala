@@ -167,17 +167,11 @@ object Dedup {
 
   /** 32-bit SimHash over token multiset: bit b of the signature is the sign
     * of Σ_tokens (bit b of h(t) ? +1 : -1), h(t) = (a·t + b) mod P.
-    * Pure Column arithmetic — engine-portable. */
+    * Native codegen'd expression (graft.expr.SimHash32) — the Column form
+    * built 32 separate interpreted folds, each rebuilding the hash array. */
   def simhash32(tokens: Column, seed: Long = 42L): Column = {
     val Seq((a, b)) = minhashCoeffs(1, seed)
-    val hashes = transform(tokens, t => (t.cast("long") * lit(a) + lit(b)) % lit(P))
-    val bitSums = (0 until 32).map { bit =>
-      // Σ (2·bit_b(h) - 1) > 0  → bit set
-      val s = aggregate(hashes, lit(0L),
-        (acc, h) => acc + (shiftrightunsigned(h, bit) % 2) * 2 - 1)
-      when(s > 0, lit(1L << bit)).otherwise(lit(0L))
-    }
-    bitSums.reduce(_ + _)
+    graft.expr.ShingleExprs.simhash32(tokens, a, b)
   }
 
   /** SimHash near-dup candidates: equal signatures (exact) — for hamming ≤ d,
@@ -245,9 +239,5 @@ object Dedup {
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
-  }
-
-  private implicit class Piped[A](private val a: A) extends AnyVal {
-    def pipe[B](f: A => B): B = f(a)
   }
 }

@@ -12,12 +12,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
+  /** Native codegen'd dot product (graft.expr.DotProduct) — the zip_with +
+    * aggregate form is CodegenFallback and re-enters the interpreter per
+    * element; identical numerics (sequential left-to-right accumulation). */
+  def dot(a: Column, b: Column): Column = graft.expr.VectorExprs.dot(a, b)
 
-  def l2norm(v: Column): Column =
-    sqrt(aggregate(v, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+  def l2norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -44,16 +44,11 @@ object Similarity {
     Array.fill(numPlanes, dim)(if (next() > 0) 1.0 else -1.0)
   }
 
-  /** Random-hyperplane LSH bucket id: numPlanes sign bits packed in a long. */
-  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val proj = aggregate(
-        zip_with(vecCol, typedLit(p.toSeq), (x, w) => x.cast("double") * w),
-        lit(0.0d), (acc, x) => acc + x)
-      when(proj > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+  /** Random-hyperplane LSH bucket id: numPlanes sign bits packed in a long.
+    * Native codegen'd expression (graft.expr.SignLshBucket): one loop over
+    * the vector per plane instead of numPlanes interpreted HOF folds. */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column =
+    graft.expr.VectorExprs.lshBucket(vecCol, planes)
 
   /** Embedding dimensionality, read from one row (metadata-cheap limit-1
     * scan) — LSH planes need the static dim before planning. */
