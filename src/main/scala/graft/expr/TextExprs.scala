@@ -1,0 +1,141 @@
+package graft.expr
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text/token primitives: the whitespace tokenizer that DERIVES the
+  * canonical token table, stopword hit counting (language ID / quality), the
+  * rolling fingerprint, and piece counting. Their HOF formulations
+  * (`transform`/`filter`/`aggregate` over `split`) are CodegenFallback; one
+  * of them in a projection forces the whole operator into interpreted eval.
+  * Semantics are identical to the Column forms and the DuckDB oracle SQL
+  * (split on single space keeps empty tokens, ascii = first code point,
+  * length = code-point count, long arithmetic wraps, sums left-to-right). */
+object TextUtil {
+  /** token(word) = ascii(word)·32 + min(len(word), 31) over ' '-split text. */
+  def asciiTokens(text: UTF8String): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val out = new Array[Any](words.length)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      val cp = if (w.isEmpty) 0 else w.codePointAt(0)
+      val len = w.codePointCount(0, w.length)
+      out(i) = cp * 32 + math.min(len, 31)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of ' '-split words contained in `words`. */
+  def stopwordHits(text: UTF8String, words: java.util.HashSet[String]): Int = {
+    val ws = text.toString.split(" ", -1)
+    var n = 0
+    var i = 0
+    while (i < ws.length) { if (words.contains(ws(i))) n += 1; i += 1 }
+    n
+  }
+
+  /** Σ t_i·31^(i mod 8) mod (2^31−1), long arithmetic wrapping like the
+    * Column fold; null elements poison the sum to null (zip_with parity). */
+  def fingerprint(tokens: ArrayData): java.lang.Long = {
+    val pow = Array.tabulate(8)(i => math.pow(31.0, i).toLong)
+    var acc = 0L
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      acc += tokens.getInt(i).toLong * pow(i % 8)
+      i += 1
+    }
+    val p = 2147483647L
+    ((acc % p) + p) % p
+  }
+
+  /** Count of non-empty segments after a regex split (keep-empties split,
+    * then length filter — parity with size(filter(split(...), len > 0))). */
+  def nonEmptySplitCount(text: UTF8String, p: java.util.regex.Pattern): Int = {
+    val parts = p.split(text.toString, -1)
+    var n = 0
+    var i = 0
+    while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
+    n
+  }
+}
+
+/** `string` → `array<int>` canonical ascii tokens (codegen'd). */
+case class AsciiTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.asciiTokens(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.asciiTokens($c)")
+  override protected def withNewChildInternal(c: Expression): AsciiTokens = copy(child = c)
+}
+
+/** `string` → `int` stopword hit count (codegen'd); the word set rides along
+  * as a reference object. */
+case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[String](); words.foreach(s.add); s
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.stopwordHits(v.asInstanceOf[UTF8String], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type: janino-generated code does not support generics
+    val ref = ctx.addReferenceObj("stopwordSet", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.stopwordHits($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordHits = copy(child = c)
+}
+
+/** `array<int>` → `bigint` rolling-hash fingerprint (codegen'd). */
+case class RollingFingerprint(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.fingerprint(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("fpRes")
+      s"""java.lang.Long $tmp = graft.expr.TextUtil.fingerprint($c);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): RollingFingerprint =
+    copy(child = c)
+}
+
+/** `string` → `int` count of non-empty regex-split segments (codegen'd). */
+case class NonEmptySplitCount(child: Expression, regex: String) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  @transient private lazy val pattern = java.util.regex.Pattern.compile(regex)
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.nonEmptySplitCount(v.asInstanceOf[UTF8String], pattern)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("splitPattern", pattern, "java.util.regex.Pattern")
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.nonEmptySplitCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression): NonEmptySplitCount =
+    copy(child = c)
+}
+
+object TextExprs {
+  def asciiTokens(text: Column): Column =
+    GraftSql.toColumn(AsciiTokens(GraftSql.toExpression(text)))
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    GraftSql.toColumn(StopwordHits(GraftSql.toExpression(text), words))
+  def fingerprint(tokens: Column): Column =
+    GraftSql.toColumn(RollingFingerprint(GraftSql.toExpression(tokens.cast("array<int>"))))
+  def nonEmptySplitCount(text: Column, regex: String): Column =
+    GraftSql.toColumn(NonEmptySplitCount(GraftSql.toExpression(text), regex))
+}

@@ -16,9 +16,10 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "est", "que", "pour"))
 
   /** Count of words in `textCol` that appear in `words` — the scoring
-    * primitive for language ID. */
+    * primitive for language ID. Native codegen'd expression
+    * (graft.expr.StopwordHits); the filter-over-split HOF ran interpreted. */
   def stopwordHits(textCol: Column, words: Seq[String]): Column =
-    size(filter(split(textCol, " "), w => w.isin(words: _*)))
+    graft.expr.TextExprs.stopwordHits(textCol, words)
 
   /** Heuristic language ID: argmax over per-language stopword hit counts;
     * "und" (undetermined) when no list scores ≥ 1. */
@@ -63,18 +64,14 @@ object TextAnalysis {
     val t = col(textCol)
     df.withColumn("ws_tokens", size(split(t, " ")))
       .withColumn("bpe_est_tokens", ceil(length(t).cast("double") / 4.0).cast("long"))
-      .withColumn("piece_tokens", size(filter(
-        split(t, "[^A-Za-z0-9]+"), p => length(p) > 0)) +
-        size(filter(split(t, "[A-Za-z0-9 ]+"), p => length(p) > 0)))
+      .withColumn("piece_tokens",
+        graft.expr.TextExprs.nonEmptySplitCount(t, "[^A-Za-z0-9]+") +
+        graft.expr.TextExprs.nonEmptySplitCount(t, "[A-Za-z0-9 ]+"))
   }
 
   /** Order-sensitive document fingerprint: polynomial rolling hash over
-    * tokens, Σ t_i·31^(i mod 8) mod (2^31-1) — deterministic, portable. */
-  def fingerprint(tokens: Column): Column = {
-    val powers = (0 until 8).map(i => math.pow(31.0, i).toLong)
-    val zipped = zip_with(tokens,
-      transform(sequence(lit(0), size(tokens) - 1), i => pmod(i, lit(8))),
-      (t, ip) => t.cast("long") * element_at(typedLit(powers), ip.cast("int") + 1))
-    pmod(aggregate(zipped, lit(0L), (acc, x) => acc + x), lit(2147483647L))
-  }
+    * tokens, Σ t_i·31^(i mod 8) mod (2^31-1) — deterministic, portable.
+    * Native codegen'd expression (graft.expr.RollingFingerprint). */
+  def fingerprint(tokens: Column): Column =
+    graft.expr.TextExprs.fingerprint(tokens)
 }

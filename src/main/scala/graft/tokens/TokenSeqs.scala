@@ -24,11 +24,13 @@ object TokenSeqs {
   def tokenOf(w: Column): Column =
     (ascii(w) * 32 + least(length(w), lit(31))).cast("int")
 
-  /** Derive the canonical table from the `documents` table. */
+  /** Derive the canonical table from the `documents` table. The tokenizer is
+    * a native codegen'd expression (graft.expr.AsciiTokens) — the
+    * transform-over-split HOF form ran interpreted in every derived query. */
   def fromDocuments(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id").cast("string").as("doc_id"),
-      transform(split(col("text"), " "), w => tokenOf(w)).as("tokens"),
+      graft.expr.TextExprs.asciiTokens(col("text")).as("tokens"),
       col("source"))
       .withColumn("n_tok", size(col("tokens")).cast("int"))
       .select("doc_id", "tokens", "n_tok", "source")
