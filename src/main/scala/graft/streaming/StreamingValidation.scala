@@ -49,6 +49,51 @@ object StreamingValidation {
         coalesce(col("v.keyword"), lit("_none")).as("keyword"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** Streaming referential integrity: stream-static LEFT-ANTI join against
+    * the (small) dimension — Spark broadcasts the static side into every
+    * micro-batch, so the stream never shuffles. Stateless → any output mode. */
+  def streamingRiViolations(stream: DataFrame, dim: DataFrame, factKey: String,
+                            dimKey: String, idCol: String): DataFrame =
+    stream.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
+        Seq(factKey), "left_anti")
+      .select(col(idCol).cast("string").as("doc_id"),
+        lit("referential").as("keyword"),
+        lit(s"#/$$dataset/referential/$factKey").as("keywordLocation"),
+        concat(lit(s"#/$factKey="), coalesce(col(factKey).cast("string"), lit("null")))
+          .as("instanceLocation"),
+        concat(lit(s"value of $factKey not in dimension: "),
+          coalesce(col(factKey).cast("string"), lit("null"))).as("message"))
+
+  /** Per-window chi-squared drift of `catCol` frequencies against a STATIC
+    * baseline distribution — the continuous analogue of the batch chi2 check.
+    *
+    * Uses the algebraic identity Σ_cats (o − f·N)²/(f·N) = (Σ o²/f)/N − N
+    * (f = baseline fraction, N = window total, Σf = 1), which needs only
+    * SUMS — so the whole statistic fits Structured Streaming's chained
+    * windowed-aggregation pattern (counts per (window, category), then one
+    * re-window aggregation), zero-observed baseline categories included
+    * exactly. Categories absent from the baseline get the same 0.5
+    * pseudo-count as the batch path. */
+  def windowedChiSquared(stream: DataFrame, baseline: DataFrame, catCol: String,
+                         eventTimeCol: String, windowDuration: String,
+                         watermarkDelay: String): DataFrame = {
+    val base = baseline.groupBy(col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("eRaw"))
+    val eTot = base.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
+    val fracs: Map[String, Double] =
+      base.collect().map(r => r.getString(0) -> r.getLong(1) / eTot).toMap
+    val fExpr = coalesce(element_at(typedLit(fracs), col("k")), lit(0.5 / eTot))
+    val counts = stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"),
+        col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("o"))
+    counts
+      .groupBy(window(col("w"), windowDuration).as("w"))
+      .agg((sum(pow(col("o"), 2) / fExpr) / sum("o") - sum("o")).as("chi2_stat"),
+        sum("o").as("n_obs"))
+      .select(col("w").getField("start").as("w_start"), col("chi2_stat"), col("n_obs"))
+  }
+
   final case class SeenKey(occurrences: Long)
   final case class DupViolation(doc_id: String, keyword: String,
                                 keywordLocation: String, instanceLocation: String,

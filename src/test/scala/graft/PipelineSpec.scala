@@ -103,6 +103,36 @@ class PipelineSpec extends SparkSpec {
     facts.unpersist()
   }
 
+  test("crash between violations write and manifest append: replay replaces, not duplicates") {
+    val out = tmp()
+    val facts = gen(20000, 21L, 0.01, 8).cache()
+    // simulate the crash: violations landed on disk but the manifest append
+    // never happened — the resumed run must re-validate those partitions and
+    // REPLACE their violation files (dynamic partition overwrite), not append
+    val store = new ManifestStore(spark, out)
+    val r1 = ValidationPipeline.run(spark, facts, Some(dim), None, cfg, "run-c", Some(store))
+    r1.violations.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy(cfg.partCol).parquet(s"$out/violations")
+    r1.violations.unpersist()
+    val crashCount = spark.read.parquet(s"$out/violations").count()
+    assert(crashCount > 0)
+    val r2 = ValidationPipeline.runAndCommit(spark, facts, Some(dim), None, cfg, "run-c", out)
+    r2.violations.unpersist()
+    assert(spark.read.parquet(s"$out/violations").count() == crashCount)
+    facts.unpersist()
+  }
+
+  test("snapshot commit retries over a crashed (marker-less) partial write") {
+    val out = tmp()
+    val store = new ParquetSnapshotStore(spark, out)
+    // fake a crashed writer: data files for snap=1 exist, no commit marker
+    gen(50, 3L, 0.0, 2).write.partitionBy("part").parquet(s"$out/t/snap=1")
+    assert(store.currentSnapshot("t").isEmpty)
+    val id = store.commit("t", gen(80, 4L, 0.0, 2), "part")
+    assert(id == 1L)
+    assert(store.read("t", Some(1L)).count() == 80)
+  }
+
   test("snapshot store: commit/read isolation and marker-gated visibility") {
     val out = tmp()
     val store = new ParquetSnapshotStore(spark, out)

@@ -60,6 +60,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming referential integrity: stream-static broadcast anti-join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    val dim = Seq("web", "books", "code", "wiki").toDF("source")
+    val out = StreamingValidation.streamingRiViolations(
+      input.toDF(), dim, "source", "source", "doc_id")
+    val q = out.writeStream.format("memory").queryName("rivio")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        StreamRow(uuidA, Array(1), 1, "web", ts(0)),
+        StreamRow(uuidB, Array(1), 1, "reddit", ts(1)),
+        StreamRow(uuidA, Array(1), 1, "books", ts(2)))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, keyword from rivio").collect()
+      assert(rows.length === 1)
+      assert(rows(0).getString(0) === uuidB)
+      assert(rows(0).getString(1) === "referential")
+    } finally q.stop()
+  }
+
+  test("windowed chi-squared drift vs static baseline (chained windowed aggs)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    // baseline: uniform over web/books — a window of all-web must score
+    // chi2 = N ((0.5N-N)^2/(0.5N) x2 = N); a balanced window scores 0
+    val baseline = (Seq.fill(50)("web") ++ Seq.fill(50)("books")).toDF("source")
+    val out = StreamingValidation.windowedChiSquared(
+      input.toDF(), baseline, "source", "ts", "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("chi2win")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 4x web, 0 books → chi2 = 4; window [10,20): 2+2 → 0
+      input.addData(
+        StreamRow(uuidA, Array(1), 1, "web", ts(0)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(1)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(2)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(3)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(12)),
+        StreamRow(uuidA, Array(1), 1, "books", ts(13)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(14)),
+        StreamRow(uuidA, Array(1), 1, "books", ts(15)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows (append mode)
+      input.addData(StreamRow(uuidA, Array(1), 1, "web", ts(100)))
+      q.processAllAvailable()
+      val m = spark.sql("select w_start, chi2_stat from chi2win")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+      val w0 = ts(0).getTime - (ts(0).getTime % 10000)   // window starts
+      val w1 = w0 + 10000
+      assert(math.abs(m(w0) - 4.0) < 1e-9)  // all-web window: chi2 = N = 4
+      assert(math.abs(m(w1) - 0.0) < 1e-9)  // balanced window matches baseline
+    } finally q.stop()
+  }
+
   test("streaming uniqueness via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
