@@ -209,6 +209,12 @@ object SparkEntry {
         .filter(col("doc_id") < 50)
         .select(col("doc_id"), Dedup.simhash32(col("tokens")).as("sig"))),
 
+    // ---- dedup: SimHash near-dups within hamming ≤ 3 (banded buckets) ----
+    "q_simhash_band" -> ((s, dir) =>
+      Dedup.simhashNearDups(
+        tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", maxHamming = 3)),
+
     // ---- similarity: brute-force cosine top-3 ANN ----
     "q_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -486,6 +492,25 @@ object SparkEntry {
                CASE WHEN list_sum(list_transform(hs, v -> ((v >> bit) & 1) * 2 - 1)) > 0
                     THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT AS sig
            FROM h""",
+
+      "q_simhash_band" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+           h AS (SELECT id, list_transform(toks, t -> (t::BIGINT * $sa + $sb) % $P) hs FROM ts),
+           sig AS (SELECT id,
+             list_sum(list_transform(range(0, 32), bit ->
+               CASE WHEN list_sum(list_transform(hs, v -> ((v >> bit) & 1) * 2 - 1)) > 0
+                    THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT sig
+             FROM h),
+           bands AS (
+             SELECT id, sig, 0 b, (sig >> 0) & 255 bkey FROM sig UNION ALL
+             SELECT id, sig, 1, (sig >> 8) & 255 FROM sig UNION ALL
+             SELECT id, sig, 2, (sig >> 16) & 255 FROM sig UNION ALL
+             SELECT id, sig, 3, (sig >> 24) & 255 FROM sig),
+           cand AS (SELECT DISTINCT a.id id_a, b2.id id_b, a.sig sa, b2.sig sb
+             FROM bands a JOIN bands b2
+               ON a.b = b2.b AND a.bkey = b2.bkey AND a.id < b2.id)
+           SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+           FROM cand WHERE bit_count(xor(sa, sb)) <= 3""",
 
       "q_ann_topk" ->
         """WITH q AS (SELECT vec_id query_id, embedding qv FROM embeddings WHERE vec_id < 10),

@@ -174,14 +174,41 @@ object Dedup {
     graft.expr.ShingleExprs.simhash32(tokens, a, b)
   }
 
-  /** SimHash near-dup candidates: equal signatures (exact) — for hamming ≤ d,
-    * band the 32 bits into (d+1) chunks and join per chunk. */
+  /** SimHash near-dup candidates: equal signatures (exact). */
   def simhashDuplicates(df: DataFrame, idCol: String, tokensCol: String,
                         seed: Long = 42L): DataFrame =
     df.select(col(idCol).as("id"), simhash32(col(tokensCol), seed).as("sig"))
       .groupBy("sig").agg(count(lit(1)).as("dup_count"),
         sort_array(collect_list(col("id"))).as("ids"))
       .filter(col("dup_count") > 1)
+
+  /** SimHash near-duplicates within hamming distance `maxHamming`: band the
+    * 32-bit signature into (maxHamming+1) chunks — by pigeonhole, any pair
+    * within distance d agrees exactly on at least one chunk — join per chunk,
+    * then verify bit_count(sig_a XOR sig_b) ≤ d exactly. The band join
+    * carries only (band, chunk-key, id, 8-byte sig); candidate fan-out is
+    * bounded by the per-bucket density like every banded-LSH operator here. */
+  def simhashNearDups(df: DataFrame, idCol: String, tokensCol: String,
+                      maxHamming: Int = 3, seed: Long = 42L): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming in [0, 32)")
+    val bands = maxHamming + 1
+    val bandBits = 32 / bands
+    val sigs = df.select(col(idCol).as("id"), simhash32(col(tokensCol), seed).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      val lo = b * bandBits
+      val width = if (b == bands - 1) 32 - lo else bandBits
+      struct(lit(b).as("b"),
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit((1L << width) - 1)).as("key"))
+    }
+    val buckets = sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
+    val aSide = buckets.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val bSide = buckets.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    aSide.join(bSide, Seq("bk")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 
   /** (id, raw vector, L2 norm): the norm is computed ONCE per row and carried
     * as a scalar — normalizing the array in place would either rebuild the
