@@ -1,0 +1,97 @@
+package graft.sql
+
+import graft.expr._
+import graft.table.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL front door: registers graft's native Catalyst expressions as SQL
+  * functions, via `SparkSessionExtensions` (the engine-extension tier the
+  * design brief names) or directly onto a live session.
+  *
+  * {{{
+  *   // spark-submit --conf spark.sql.extensions=graft.sql.GraftExtensions
+  *   SELECT graft_minhash(graft_shingles3(tokens), 16, 42) FROM docs
+  *   // or, on an existing session:
+  *   GraftFunctions.register(spark)
+  * }}}
+  *
+  * Everything here is a thin literal-argument adapter over the expressions in
+  * `graft.expr` — SQL users get the same codegen'd hot path as the Scala API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def longArg(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", name, usage)
+
+  /** (name, info, builder) for every exposed function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_shingles3",
+      info("graft_shingles3", "graft_shingles3(tokens) - distinct 3-gram shingles of an int-token array"),
+      (args: Seq[Expression]) => Shingles3(args.head)),
+
+    ("graft_minhash",
+      info("graft_minhash", "graft_minhash(shingles, k, seed) - k-wide MinHash signature"),
+      (args: Seq[Expression]) => {
+        val k = longArg(args(1), "k").toInt
+        val seed = if (args.size > 2) longArg(args(2), "seed") else 42L
+        val coeffs = Dedup.minhashCoeffs(k, seed)
+        MinHashSignature(args.head, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
+      }),
+
+    ("graft_simhash32",
+      info("graft_simhash32", "graft_simhash32(tokens, seed) - 32-bit SimHash signature"),
+      (args: Seq[Expression]) => {
+        val seed = if (args.size > 1) longArg(args(1), "seed") else 42L
+        val Seq((a, b)) = Dedup.minhashCoeffs(1, seed)
+        SimHash32(args.head, a, b)
+      }),
+
+    ("graft_dot",
+      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+
+    ("graft_lsh_bucket",
+      info("graft_lsh_bucket",
+        "graft_lsh_bucket(vec, dim, numPlanes, seed) - sign-LSH bucket id"),
+      (args: Seq[Expression]) => {
+        val dim = longArg(args(1), "dim").toInt
+        val numPlanes = longArg(args(2), "numPlanes").toInt
+        val seed = if (args.size > 3) longArg(args(3), "seed") else 42L
+        SignLshBucket(args.head,
+          Similarity.hyperplaneSigns(numPlanes, dim, seed).flatten, numPlanes)
+      }),
+
+    ("graft_ascii_tokens",
+      info("graft_ascii_tokens", "graft_ascii_tokens(text) - canonical whitespace ascii tokens"),
+      (args: Seq[Expression]) => AsciiTokens(args.head)),
+
+    ("graft_fingerprint",
+      info("graft_fingerprint", "graft_fingerprint(tokens) - rolling polynomial fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+
+  /** Register onto a live session (no spark.sql.extensions conf needed). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    all.foreach { case (name, inf, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), inf, builder)
+    }
+  }
+}

@@ -55,4 +55,45 @@ class ExtensionSpec extends SparkSpec {
       SchemaParser.parse("""{"properties": {"v": {"totallyUnknown": 42}}}"""), "id")
     assert(out.count() === 0)
   }
+
+  test("SQL function surface: graft_* functions match the Column API") {
+    import spark.implicits._
+    graft.sql.GraftFunctions.register(spark)
+    Seq(("42", "the quick brown fox", Array(1, 2, 3, 4, 5)))
+      .toDF("id", "text", "tokens").createOrReplaceTempView("ext_docs")
+
+    val viaSql = spark.sql(
+      """SELECT graft_ascii_tokens(text) AS toks,
+                graft_shingles3(tokens) AS sh,
+                graft_minhash(graft_shingles3(tokens), 4, 42) AS mh,
+                graft_simhash32(tokens, 42) AS sim,
+                graft_fingerprint(tokens) AS fp,
+                graft_dot(CAST(ARRAY(1.0, 2.0) AS ARRAY<DOUBLE>),
+                          CAST(ARRAY(3.0, 4.0) AS ARRAY<DOUBLE>)) AS dp
+         FROM ext_docs""").collect()(0)
+
+    val viaApi = spark.table("ext_docs").select(
+      graft.expr.TextExprs.asciiTokens(col("text")).as("toks"),
+      graft.table.Dedup.shingles3(col("tokens")).as("sh"),
+      graft.table.Dedup.minhashSignature(col("tokens"),
+        graft.table.Dedup.minhashCoeffs(4, 42)).as("mh"),
+      graft.table.Dedup.simhash32(col("tokens"), 42).as("sim"),
+      graft.table.TextAnalysis.fingerprint(col("tokens")).as("fp")).collect()(0)
+
+    assert(viaSql.getSeq[Int](0) == viaApi.getSeq[Int](0))
+    assert(viaSql.getSeq[Long](1) == viaApi.getSeq[Long](1))
+    assert(viaSql.getSeq[Long](2) == viaApi.getSeq[Long](2))
+    assert(viaSql.getLong(3) == viaApi.getLong(3))
+    assert(viaSql.getLong(4) == viaApi.getLong(4))
+    assert(math.abs(viaSql.getDouble(5) - 11.0) < 1e-12)
+
+    // bucket ids from SQL match Similarity.lshBucket with the same planes
+    val planes = graft.table.Similarity.hyperplaneSigns(4, 2, 42)
+    val sqlBucket = spark.sql(
+      """SELECT graft_lsh_bucket(CAST(ARRAY(0.5, -1.5) AS ARRAY<DOUBLE>), 2, 4, 42)""")
+      .collect()(0).getLong(0)
+    val apiBucket = Seq(Tuple1(Array(0.5, -1.5))).toDF("v")
+      .select(graft.table.Similarity.lshBucket(col("v"), planes)).collect()(0).getLong(0)
+    assert(sqlBucket == apiBucket)
+  }
 }
