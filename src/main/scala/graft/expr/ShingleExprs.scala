@@ -72,6 +72,29 @@ object ShingleUtil {
     sig
   }
 
+  /** Ordered co-occurrence pairs from a sorted (id, n) posting list; the
+    * element types ride along so any id type works. */
+  def postingPairs(ids: ArrayData, idT: DataType, nT: DataType): ArrayData = {
+    val n = ids.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var w = 0
+    var i = 0
+    while (i < n) {
+      val a = ids.getStruct(i, 2)
+      val aId = a.get(0, idT); val aN = a.get(1, nT)
+      var j = i + 1
+      while (j < n) {
+        val b = ids.getStruct(j, 2)
+        out(w) = org.apache.spark.sql.catalyst.InternalRow(
+          aId, aN, b.get(0, idT), b.get(1, nT))
+        w += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** K running minima of (a_j·(s mod P) + b_j) mod P over the shingle array;
     * null shingle elements are skipped (parity with `least` null handling). */
   def minhash(shingles: ArrayData, a: Array[Long], b: Array[Long]): ArrayData = {
@@ -133,6 +156,28 @@ case class MinHashSignature(child: Expression, a: Array[Long], b: Array[Long])
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** `array<struct<id,n>>` posting list → `array<struct<id_a,n_a,id_b,n_b>>`
+  * of ordered co-occurrence pairs (i < j over the sorted list) — codegen'd.
+  * The nested transform/flatten HOF formulation ran interpreted. */
+case class PostingPairs(child: Expression) extends UnaryExpression {
+  private def elemStruct: StructType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def idT: DataType = elemStruct(0).dataType
+  private def nT: DataType = elemStruct(1).dataType
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", idT), StructField("n_a", nT),
+    StructField("id_b", idT), StructField("n_b", nT))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleUtil.postingPairs(v.asInstanceOf[ArrayData], idT, nT)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idRef = ctx.addReferenceObj("ppIdType", idT, "org.apache.spark.sql.types.DataType")
+    val nRef = ctx.addReferenceObj("ppNType", nT, "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c => s"graft.expr.ShingleUtil.postingPairs($c, $idRef, $nRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): PostingPairs = copy(child = c)
+}
+
 /** `array<int>` tokens → 32-bit SimHash signature as bigint (codegen'd). */
 case class SimHash32(child: Expression, a: Long, b: Long) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -149,6 +194,8 @@ object ShingleExprs {
     GraftSql.toColumn(Shingles3(GraftSql.toExpression(tokens)))
   def simhash32(tokens: Column, a: Long, b: Long): Column =
     GraftSql.toColumn(SimHash32(GraftSql.toExpression(tokens), a, b))
+  def postingPairs(postings: Column): Column =
+    GraftSql.toColumn(PostingPairs(GraftSql.toExpression(postings)))
   def minhashSignature(shingles: Column, coeffs: Seq[(Long, Long)]): Column =
     GraftSql.toColumn(MinHashSignature(GraftSql.toExpression(shingles),
       coeffs.map(_._1).toArray, coeffs.map(_._2).toArray))

@@ -94,12 +94,10 @@ object Dedup {
     val postings = exploded.groupBy("s")
       .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
-    // ordered pairs within each posting list: (ids[i], ids[j]) for i < j
-    val pairs = postings.select(explode(flatten(transform(col("ids"),
-      (x, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
-        y => struct(
-          x.getField("id").as("id_a"), x.getField("n_sh").as("n_a"),
-          y.getField("id").as("id_b"), y.getField("n_sh").as("n_b")))))).as("p"))
+    // ordered pairs within each posting list: (ids[i], ids[j]) for i < j —
+    // native codegen'd expression (graft.expr.PostingPairs)
+    val pairs = postings
+      .select(explode(graft.expr.ShingleExprs.postingPairs(col("ids"))).as("p"))
       .select(col("p.*"))
     pairs.groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("shared"), first("n_a").as("n_a"), first("n_b").as("n_b"))
