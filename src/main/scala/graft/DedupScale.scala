@@ -1,0 +1,53 @@
+package graft
+
+import graft.table.Dedup
+import graft.tokens.TokenSeqs
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the dedup family: synthesize N docs (1..512 tokens each),
+  * inject ~1% exact duplicates, and run MinHash-LSH / SimHash-banded / exact
+  * dedup end-to-end at local parallelism. Prints ONE JSON line with wall
+  * times and found-pair counts — evidence that the banded designs hold when
+  * the corpus no longer fits in a broadcast.
+  *
+  * env: SPARK_GRAFT_SCALE_ROWS (default 200000), SPARK_GRAFT_CPUS (16).
+  */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val rows = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROWS", "200000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = TokenSeqs.synthesize(spark, rows, seed = 5L, violationRate = 0.0,
+      numPartitions = cpus * 4)
+      .select(xxhash64(col("doc_id")).as("doc_id"), col("tokens"))
+    // ~1% exact duplicates under fresh ids (negated hash keeps them distinct)
+    val dups = base.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+      .select((-col("doc_id")).as("doc_id"), col("tokens"))
+    val corpus = base.unionByName(dups)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val n = corpus.count() // materialize OUTSIDE the timings
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val c = f; ((System.nanoTime() - t0) / 1e9, c)
+    }
+    val (tMh, nMh) = timed(Dedup.minhashLshPairs(corpus, "doc_id", "tokens",
+      minJaccard = 0.9).count())
+    val (tSh, nSh) = timed(Dedup.simhashNearDups(corpus, "doc_id", "tokens",
+      maxHamming = 0).count())
+    val (tEx, nEx) = timed(Dedup.exactDuplicates(corpus, "doc_id", "tokens").count())
+
+    println(s"""{"rows":$n,"cpus":$cpus,""" +
+      s""""minhash_lsh_sec":$tMh,"minhash_pairs":$nMh,""" +
+      s""""simhash_band_sec":$tSh,"simhash_pairs":$nSh,""" +
+      s""""exact_dedup_sec":$tEx,"exact_groups":$nEx}""")
+    corpus.unpersist()
+    spark.stop()
+  }
+}

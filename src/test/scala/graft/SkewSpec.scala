@@ -36,6 +36,28 @@ class SkewSpec extends SparkSpec {
     assert(a.nonEmpty) // the generator injects duplicate doc_ids
   }
 
+  test("jaccard hot-shingle cap bounds the pair fan-out of a stop-shingle") {
+    import spark.implicits._
+    // 3000 docs sharing a common 3-token prefix (a stop-shingle in EVERY
+    // doc: uncapped, it alone generates ~4.5M candidate pairs) plus a
+    // genuinely duplicated suffix pair that must still be found
+    val docs = (0 until 3000).map { i =>
+      // per-doc arithmetic progressions: any cross-doc shingle overlap is a
+      // single shingle at most (≪ the 0.5 jaccard threshold)
+      val suffix = if (i < 2) Seq(900, 901, 902, 903, 904) // the one real dup pair
+                   else (0 until 5).map(k => (i * 31 + k * 7) % 3800 + 100)
+      (i.toLong, (Seq(1, 2, 3) ++ suffix).toArray)
+    }.toDF("doc_id", "tokens")
+    val pairs = graft.table.Dedup.jaccardPairs(docs, "doc_id", "tokens",
+      minJaccard = 0.5, maxDocFreq = 100)
+    val got = pairs.collect()
+    // the capped run must still find the true duplicate pair...
+    assert(got.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L))
+    // ...and the candidate space stays bounded: the all-docs stop-shingle is
+    // capped away, so the result is tiny, not O(3000²)
+    assert(got.length < 10)
+  }
+
   test("broadcast RI join keeps the fact side shuffle-free under skew") {
     // 70% of rows hit one dimension value — broadcast join has no hot reducer
     val facts = spark.range(0, 200000, 1, 16).selectExpr("id",
