@@ -86,8 +86,14 @@ final class ManifestStore(spark: SparkSession, root: String) {
 
   def append(rows: DataFrame): Unit = {
     val batch = java.util.UUID.randomUUID().toString
-    rows.write.mode(SaveMode.ErrorIfExists)
-      .parquet(new Path(manifestDir, s"batch=$batch").toString)
+    // write to a staging dir, then one atomic rename into the visible
+    // batch=* namespace — a crashed append leaves only invisible staging
+    // files (readAll globs batch=*), never a partial batch
+    val staging = new Path(manifestDir, s"_staging-$batch")
+    val target = new Path(manifestDir, s"batch=$batch")
+    rows.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"manifest commit rename failed: $target")
   }
 
   def isEmpty: Boolean =

@@ -122,6 +122,18 @@ class PipelineSpec extends SparkSpec {
     facts.unpersist()
   }
 
+  test("manifest append is staged: a crashed partial batch is invisible") {
+    val out = tmp()
+    val store = new ManifestStore(spark, out)
+    val r = ValidationPipeline.run(spark, gen(1000, 31L, 0.0, 4), Some(dim),
+      None, cfg, "run-m", Some(store))
+    store.append(r.manifest)
+    // fake a crashed append: staging files that never got renamed
+    r.manifest.write.parquet(s"$out/_manifest/_staging-deadbeef")
+    assert(store.readAll().filter(col("run_id") === "run-m").count() == 4)
+    assert(store.completedPartitions("run-m").count() == 4)
+  }
+
   test("snapshot commit retries over a crashed (marker-less) partial write") {
     val out = tmp()
     val store = new ParquetSnapshotStore(spark, out)
