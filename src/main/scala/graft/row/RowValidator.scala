@@ -23,7 +23,7 @@ object RowValidator {
     * `_violations: array<struct<keyword,keywordLocation,instanceLocation,message>>`. */
   def withValidation(df: DataFrame, doc: SchemaDoc,
                      opts: CompileOpts = CompileOpts()): DataFrame = {
-    val target = struct(df.columns.map(col): _*)
+    val target = struct(df.columns.toIndexedSeq.map(col): _*)
     val compiled: Compiled =
       ConstraintCompiler.compile(doc, target, df.schema, opts)
     df.withColumn("_violations", compiled.violations)
@@ -42,7 +42,7 @@ object RowValidator {
   def violations(df: DataFrame, doc: SchemaDoc, idCol: String,
                  opts: CompileOpts = CompileOpts(),
                  extraCols: Seq[String] = Nil): DataFrame = {
-    val target = struct(df.columns.map(col): _*)
+    val target = struct(df.columns.toIndexedSeq.map(col): _*)
     val compiled = ConstraintCompiler.compile(doc, target, df.schema, opts)
     val keep = (extraCols :+ idCol).distinct.map(col)
     // The nondeterministic-but-constant guard is load-bearing: without it,

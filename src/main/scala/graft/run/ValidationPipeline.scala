@@ -246,8 +246,8 @@ object ValidationPipeline {
           col("row_count").cast(StringType)))
       .withColumn("verdict", verdict)
       .withColumn("metrics", map_from_arrays(
-        array((metricCols :+ "chi2_p").map(lit): _*),
-        array((metricCols :+ "chi2_p").map(c => col(c).cast(DoubleType)): _*)))
+        array((metricCols :+ "chi2_p").toIndexedSeq.map(lit): _*),
+        array((metricCols :+ "chi2_p").toIndexedSeq.map(c => col(c).cast(DoubleType)): _*)))
       .withColumn("status", lit("completed"))
       .withColumn("committed_at", current_timestamp())
       .select("run_id", "partition_key", "input_fingerprint", "row_count",

@@ -80,7 +80,7 @@ object JsonIngest {
     * `_violations` / `_malformed`. */
   def ingest(df: DataFrame, jsonCol: String, doc: SchemaDoc): DataFrame = {
     val parsed = parseJson(df, jsonCol, doc)
-    val flat = parsed.select((df.columns.map(col) :+
+    val flat = parsed.select((df.columns.toIndexedSeq.map(col) :+
       col("parsed").as("parsed") :+ col("_malformed")): _*)
     val compiled = graft.compile.ConstraintCompiler.compile(
       doc, col("parsed"), structTypeFor(doc.root))
