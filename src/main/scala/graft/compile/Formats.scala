@@ -109,7 +109,11 @@ object Formats {
   private val uriRefRe = s"^$uriTailRe$$"
   private def uriExtraChecks(c: Column): Column =
     !c.rlike("%(?![0-9A-Fa-f]{2})") &&           // malformed percent-escape
-    !c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://[^/?#\\[\\]@]*:[^/?#\\[\\]@]*:") // bare IPv6 host
+    // bare IPv6 host = TWO+ colons in the HOST portion. Userinfo (which
+    // legally contains colons, RFC3986) is consumed first; the lookahead
+    // forces the optional group to actually take a present userinfo@ (an
+    // empty-group backtrack would let the host class eat "user:p").
+    !c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?(?![^/?#]*@)[^/?#\\[\\]@]*:[^/?#\\[\\]@]*:")
 
   // idn-email: RFC6531 — the same grammar with Unicode letters/marks/digits
   // admitted in the local atoms and domain labels (email.go:28-37).

@@ -40,10 +40,12 @@ object TextUtil {
     n
   }
 
+  private val fpPow: Array[Long] = Array.tabulate(8)(i => math.pow(31.0, i).toLong)
+
   /** Σ t_i·31^(i mod 8) mod (2^31−1), long arithmetic wrapping like the
     * Column fold; null elements poison the sum to null (zip_with parity). */
   def fingerprint(tokens: ArrayData): java.lang.Long = {
-    val pow = Array.tabulate(8)(i => math.pow(31.0, i).toLong)
+    val pow = fpPow
     var acc = 0L
     val n = tokens.numElements()
     var i = 0

@@ -256,8 +256,7 @@ object SchemaParser {
           t = t.copy(dynAnchors = t.dynAnchors + ((newBase, a) -> o))
         case _ =>
       }
-      o.obj.foldLeft(t) { case (m, (_, child)) => collectScoped(child, newBase, m) }
-    case JArray(items) => items.foldLeft(acc)((m, c) => collectScoped(c, base, m))
+      childSchemas(o).foldLeft(t)((m, c) => collectScoped(c, newBase, m))
     case _ => acc
   }
 
@@ -278,10 +277,31 @@ object SchemaParser {
   private def absolutizeRef(base: String, ref: String): String =
     if (base.isEmpty) ref else resolveUri(base, ref)
 
-  /** Pre-order walk collecting `$anchor` / `$dynamicAnchor` names. First
-    * occurrence wins, so the OUTERMOST anchor shadows inner ones — the static
-    * analogue of the dynamic-scope rule (validate.go:138-142). Top-level
-    * `$id`-relative anchors are out of scope — single-document resolution. */
+  /** Child subschemas of a raw schema object, in document order — ONLY
+    * schema positions. `const`/`enum`/`default`/annotation payloads are DATA:
+    * a "$id"/"$anchor" string inside them must not register resources or
+    * anchors (the reference's resolveIDs walks schema positions only,
+    * builder.go:149-224). */
+  private def childSchemas(o: JObject): Seq[JValue] = o.obj.flatMap {
+    case (k, v) => k match {
+      case "items" | "contains" | "additionalProperties" | "propertyNames" |
+           "not" | "if" | "then" | "else" | "unevaluatedProperties" |
+           "unevaluatedItems" | "contentSchema" => Seq(v)
+      case "properties" | "patternProperties" | "dependentSchemas" |
+           "$defs" | "definitions" =>
+        v match { case m: JObject => m.obj.map(_._2); case _ => Nil }
+      case "prefixItems" | "allOf" | "anyOf" | "oneOf" =>
+        v match { case JArray(xs) => xs; case _ => Nil }
+      case "dependencies" => // draft-7: schema form only (array form = strings)
+        v match { case m: JObject => m.obj.map(_._2).filter(_.isInstanceOf[JObject]); case _ => Nil }
+      case _ => Nil
+    }
+  }
+
+  /** Pre-order walk over SCHEMA positions collecting `$anchor` /
+    * `$dynamicAnchor` names. First occurrence wins, so the OUTERMOST anchor
+    * shadows inner ones — the static analogue of the dynamic-scope rule
+    * (validate.go:138-142). */
   private def collectAnchors(v: JValue, key: String,
                              acc: Map[String, JValue]): Map[String, JValue] = v match {
     case o: JObject =>
@@ -289,8 +309,7 @@ object SchemaParser {
         case JString(a) if !acc.contains(a) => acc + (a -> o)
         case _ => acc
       }
-      o.obj.foldLeft(here) { case (m, (_, child)) => collectAnchors(child, key, m) }
-    case JArray(items) => items.foldLeft(acc)((m, c) => collectAnchors(c, key, m))
+      childSchemas(o).foldLeft(here)((m, c) => collectAnchors(c, key, m))
     case _ => acc
   }
 

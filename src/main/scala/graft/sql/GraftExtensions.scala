@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types._
 
 /** SQL front door: registers graft's native Catalyst expressions as SQL
   * functions, via `SparkSessionExtensions` (the engine-extension tier the
@@ -38,6 +39,20 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def arity(name: String, args: Seq[Expression], lo: Int, hi: Int): Unit =
+    if (args.size < lo || args.size > hi)
+      throw new IllegalArgumentException(
+        s"$name expects $lo${if (hi > lo) s"..$hi" else ""} arguments, got ${args.size}")
+
+  // The inner expressions read array slots by exact physical type (getInt /
+  // getDouble); an uncoerced DECIMAL or BIGINT array would be silently
+  // reinterpreted. Every SQL entry point casts to the expected type first —
+  // the same coercion the Scala wrappers apply.
+  private def asIntArray(e: Expression) = Cast(e, ArrayType(IntegerType))
+  private def asLongArray(e: Expression) = Cast(e, ArrayType(LongType))
+  private def asDoubleArray(e: Expression) = Cast(e, ArrayType(DoubleType))
+  private def asString(e: Expression) = Cast(e, StringType)
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft", name, usage)
 
@@ -45,47 +60,63 @@ object GraftFunctions {
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_shingles3",
       info("graft_shingles3", "graft_shingles3(tokens) - distinct 3-gram shingles of an int-token array"),
-      (args: Seq[Expression]) => Shingles3(args.head)),
+      (args: Seq[Expression]) => {
+        arity("graft_shingles3", args, 1, 1)
+        Shingles3(asIntArray(args.head))
+      }),
 
     ("graft_minhash",
       info("graft_minhash", "graft_minhash(shingles, k, seed) - k-wide MinHash signature"),
       (args: Seq[Expression]) => {
+        arity("graft_minhash", args, 2, 3)
         val k = longArg(args(1), "k").toInt
         val seed = if (args.size > 2) longArg(args(2), "seed") else 42L
         val coeffs = Dedup.minhashCoeffs(k, seed)
-        MinHashSignature(args.head, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
+        MinHashSignature(asLongArray(args.head),
+          coeffs.map(_._1).toArray, coeffs.map(_._2).toArray)
       }),
 
     ("graft_simhash32",
       info("graft_simhash32", "graft_simhash32(tokens, seed) - 32-bit SimHash signature"),
       (args: Seq[Expression]) => {
+        arity("graft_simhash32", args, 1, 2)
         val seed = if (args.size > 1) longArg(args(1), "seed") else 42L
         val Seq((a, b)) = Dedup.minhashCoeffs(1, seed)
-        SimHash32(args.head, a, b)
+        SimHash32(asIntArray(args.head), a, b)
       }),
 
     ("graft_dot",
-      info("graft_dot", "graft_dot(a, b) - dot product of two double arrays"),
-      (args: Seq[Expression]) => DotProduct(args(0), args(1))),
+      info("graft_dot", "graft_dot(a, b) - dot product of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        arity("graft_dot", args, 2, 2)
+        DotProduct(asDoubleArray(args(0)), asDoubleArray(args(1)))
+      }),
 
     ("graft_lsh_bucket",
       info("graft_lsh_bucket",
         "graft_lsh_bucket(vec, dim, numPlanes, seed) - sign-LSH bucket id"),
       (args: Seq[Expression]) => {
+        arity("graft_lsh_bucket", args, 3, 4)
         val dim = longArg(args(1), "dim").toInt
         val numPlanes = longArg(args(2), "numPlanes").toInt
         val seed = if (args.size > 3) longArg(args(3), "seed") else 42L
-        SignLshBucket(args.head,
+        SignLshBucket(asDoubleArray(args.head),
           Similarity.hyperplaneSigns(numPlanes, dim, seed).flatten, numPlanes)
       }),
 
     ("graft_ascii_tokens",
       info("graft_ascii_tokens", "graft_ascii_tokens(text) - canonical whitespace ascii tokens"),
-      (args: Seq[Expression]) => AsciiTokens(args.head)),
+      (args: Seq[Expression]) => {
+        arity("graft_ascii_tokens", args, 1, 1)
+        AsciiTokens(asString(args.head))
+      }),
 
     ("graft_fingerprint",
       info("graft_fingerprint", "graft_fingerprint(tokens) - rolling polynomial fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+      (args: Seq[Expression]) => {
+        arity("graft_fingerprint", args, 1, 1)
+        RollingFingerprint(asIntArray(args.head))
+      }))
 
   /** Register onto a live session (no spark.sql.extensions conf needed). */
   def register(spark: SparkSession): Unit = {

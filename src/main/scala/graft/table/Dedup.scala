@@ -45,9 +45,12 @@ object Dedup {
     * grouping — hash collisions between distinct contents fall out at the
     * final `dup_count > 1` filter. */
   def exactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    // no forced broadcast of the hot-hash list: its size is O(n·dup_rate)
+    // and unbounded at web scale — AQE broadcasts it when small and falls
+    // back to a (graceful) shuffled semi-join when it is not
     val candidates = df
       .withColumn("_h", xxhash64(col(contentCol)))
-      .join(broadcast(dupHashes(df, contentCol)), Seq("_h"), "left_semi")
+      .join(dupHashes(df, contentCol), Seq("_h"), "left_semi")
     candidates.groupBy(col(contentCol))
       .agg(count(lit(1)).as("dup_count"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("dup_count") > 1)
@@ -58,11 +61,13 @@ object Dedup {
     * through without any payload shuffle; only hash-colliding rows shuffle —
     * on (hash, content) — for the keep-first window. */
   def dropExactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    // like exactDuplicates: the hot-hash list is O(n·dup_rate), so the join
+    // strategy is left to AQE rather than a forced (unbounded) broadcast
     val hot = dupHashes(df, contentCol)
     val withH = df.withColumn("_h", xxhash64(col(contentCol)))
-    val uniques = withH.join(broadcast(hot), Seq("_h"), "left_anti")
+    val uniques = withH.join(hot, Seq("_h"), "left_anti")
     val w = Window.partitionBy(col("_h"), col(contentCol)).orderBy(col(idCol))
-    val keepers = withH.join(broadcast(hot), Seq("_h"), "left_semi")
+    val keepers = withH.join(hot, Seq("_h"), "left_semi")
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
     uniques.unionByName(keepers).drop("_h")
   }
@@ -222,8 +227,9 @@ object Dedup {
     * bucketing — brute force is the exactness baseline, LSH the scale path. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
                         minCosine: Double, bruteForceMax: Long = 10000L): DataFrame =
-    // count() here is a metadata-cheap action on columnar sources and the
-    // price of auto-routing; callers that already know their scale call
+    // auto-routing costs one EAGER count() job over the input at
+    // plan-construction time (a full scan if the input is filtered or
+    // derived) — callers that already know their scale should call
     // bruteForceNearDups / lshNearDups directly.
     if (df.count() <= bruteForceMax) bruteForceNearDups(df, idCol, vecCol, minCosine)
     else lshNearDups(df, idCol, vecCol, minCosine)

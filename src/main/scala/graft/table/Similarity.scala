@@ -50,10 +50,13 @@ object Similarity {
   def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column =
     graft.expr.VectorExprs.lshBucket(vecCol, planes)
 
-  /** Embedding dimensionality, read from one row (metadata-cheap limit-1
-    * scan) — LSH planes need the static dim before planning. */
+  /** Embedding dimensionality, read from one row (a limit-1 scan — note this
+    * is an eager action at plan-construction time) — LSH planes need the
+    * static dim before planning. Empty input → 1 (any plane set works: every
+    * downstream result is empty anyway). */
   def vecDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head().getInt(0)
+    df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** LSH-bucketed ANN: bucket corpus + queries with `numTables` independent
     * sign-LSH tables, join per (table, bucket), exact-cosine re-rank, top-k.

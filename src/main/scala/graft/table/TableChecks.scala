@@ -120,13 +120,24 @@ object TableChecks {
       .agg(count(lit(1)).as("cb")).withColumn("ca", lit(0L))
     val merged = a.select("v", "ca", "cb").unionByName(b.select("v", "ca", "cb"))
       .groupBy("v").agg(sum("ca").as("ca"), sum("cb").as("cb"))
-    val ranged = merged.repartitionByRange(rangeParts, col("v"))
-      .withColumn("pid", spark_partition_id())
+      // null values carry no position in a value ordering — excluded from
+      // both empirical CDFs
+      .filter(col("v").isNotNull)
+    // deterministic domain bucketing: approximate quantile BOUNDARIES are
+    // computed once (a driver-side action over the domain-sized counts
+    // table) and baked into a pure bucket-id expression. spark_partition_id
+    // after repartitionByRange would only be consistent across the two
+    // consumers below if both resolved to ONE reused range exchange — an
+    // optimizer property, not a guarantee.
+    val qs = (1 until rangeParts).map(_.toDouble / rangeParts).toArray
+    val bounds = merged.stat.approxQuantile("v", qs, 0.001).distinct.sorted
+    val pid = bounds.foldLeft(lit(0))((acc, bd) => acc + (col("v") > lit(bd)).cast("int"))
+    val binned = merged.withColumn("pid", pid)
     val wLocal = Window.partitionBy("pid").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val local = ranged.select(col("v"), col("pid"),
+    val local = binned.select(col("v"), col("pid"),
       sum("ca").over(wLocal).as("la"), sum("cb").over(wLocal).as("lb"))
-    val tot = ranged.groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
+    val tot = binned.groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
     // exclusive prefix offsets over the ≤P-row totals: triangular self-join
     // (P² ≤ 4096 rows) instead of a global window — keeps the plan free of
     // single-partition stages even in its metadata step.

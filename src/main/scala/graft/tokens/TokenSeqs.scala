@@ -19,10 +19,9 @@ object TokenSeqs {
 
   val VocabSize = 4096
 
-  /** Deterministic token id from a word — mirrored in DuckDB oracle SQL as
-    * `ascii(w)*32 + least(length(w), 31)`. */
-  def tokenOf(w: Column): Column =
-    (ascii(w) * 32 + least(length(w), lit(31))).cast("int")
+  // token(word) = ascii(word)·32 + min(len(word), 31) — the canonical token
+  // definition lives in ONE place, graft.expr.TextUtil.asciiTokens (mirrored
+  // in the DuckDB oracle SQL as `ascii(w)*32 + least(length(w), 31)`).
 
   /** Derive the canonical table from the `documents` table. The tokenizer is
     * a native codegen'd expression (graft.expr.AsciiTokens) — the

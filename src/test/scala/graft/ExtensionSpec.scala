@@ -87,6 +87,14 @@ class ExtensionSpec extends SparkSpec {
     assert(viaSql.getLong(4) == viaApi.getLong(4))
     assert(math.abs(viaSql.getDouble(5) - 11.0) < 1e-12)
 
+    // uncast SQL literals (DECIMAL arrays) must be coerced, not silently
+    // reinterpreted bit-wise
+    val rawDot = spark.sql("SELECT graft_dot(array(1.0, 2.0), array(3.0, 4.0))")
+      .collect()(0).getDouble(0)
+    assert(math.abs(rawDot - 11.0) < 1e-12)
+    val e = intercept[Exception](spark.sql("SELECT graft_minhash(array(1L))").collect())
+    assert(e.getMessage.contains("graft_minhash expects"))
+
     // bucket ids from SQL match Similarity.lshBucket with the same planes
     val planes = graft.table.Similarity.hyperplaneSigns(4, 2, 42)
     val sqlBucket = spark.sql(

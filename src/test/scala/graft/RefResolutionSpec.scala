@@ -99,6 +99,30 @@ class RefResolutionSpec extends SparkSpec with BeforeAndAfterEach {
     assert(violationsOf(schema) == Map("minimum" -> 1L))
   }
 
+  test("a $id inside const DATA does not register a phantom resource") {
+    val schema =
+      """{
+        "$id": "https://example.test/root.json",
+        "type": "object",
+        "properties": {
+          "meta": {"const": {"$id": "https://example.test/score.json",
+                             "$anchor": "decoy", "type": "string"}},
+          "score": {"$ref": "https://example.test/score.json"}
+        },
+        "$defs": {
+          "real": {"$id": "https://example.test/score.json",
+                   "type": "integer", "minimum": 0}
+        }
+      }"""
+    // the const payload appears FIRST in document order; if the walker
+    // treated data positions as schemas, the ref would hit the decoy
+    val df = Seq(RefDoc("ok", 5), RefDoc("bad", -3)).toDF()
+    val v = RowValidator.violations(df, SchemaParser.parse(schema), "name")
+      .collect().groupBy(_.getAs[String]("keyword"))
+      .view.mapValues(_.length.toLong).toMap
+    assert(v == Map("minimum" -> 1L))
+  }
+
   test("SchemaLoader hook supplies external documents (SetLoader analogue)") {
     SchemaLoader.addLoader {
       case "https://registry.test/score-schema.json" => Some(
