@@ -58,6 +58,29 @@ object TextUtil {
     ((acc % p) + p) % p
   }
 
+  /** xxhash64(longValue, intSalt, longSeed) exactly as Spark's XxHash64
+    * expression computes it: fold from 42, hashInt for the INT literal. */
+  private def sparkXxhash64(x: Long, salt: Int, seed: Long): Long = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    var h = XXH64.hashLong(x, 42L)
+    h = XXH64.hashInt(salt, h)
+    XXH64.hashLong(seed, h)
+  }
+
+  /** Deterministic synthetic token array for row `id` (TokenSeqs generator). */
+  def synthTokens(id: Long, seed: Long, vocab: Int): ArrayData = {
+    val lenHash = sparkXxhash64(id, 5, seed) & Long.MaxValue
+    val len = (lenHash % 512).toInt + 1
+    val out = new Array[Any](len)
+    var k = 1
+    while (k <= len) {
+      val h = sparkXxhash64(id * 2048L + k, 6, seed) & Long.MaxValue
+      out(k - 1) = (h % vocab).toInt
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of non-empty segments after a regex split (keep-empties split,
     * then length filter — parity with size(filter(split(...), len > 0))). */
   def nonEmptySplitCount(text: UTF8String, p: java.util.regex.Pattern): Int = {
@@ -67,6 +90,27 @@ object TextUtil {
     while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
     n
   }
+}
+
+/** `bigint` row id → `array<int>` synthetic token array (codegen'd) — the
+  * native form of TokenSeqs.synthesize's token generator. Bit-identical to
+  * the Column formulation
+  * `transform(sequence(1, len), k => pmod(xxhash64(id·2048+k, 6, seed), vocab))`
+  * with `len = pmod(xxhash64(id, 5, seed) & Long.Max, 512) + 1`:
+  * Spark's xxhash64 folds its arguments left-to-right from seed 42, hashing
+  * INT literals via hashInt and LONG values via hashLong — replicated here
+  * exactly (verified by a parity test). The HOF form evaluated one
+  * interpreted xxhash64 expression tree PER TOKEN (~2.5B calls per 10M-row
+  * bench materialization). */
+case class SynthTokens(child: Expression, seed: Long, vocab: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.synthTokens(v.asInstanceOf[Long], seed, vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.synthTokens($c, ${seed}L, $vocab)")
+  override protected def withNewChildInternal(c: Expression): SynthTokens = copy(child = c)
 }
 
 /** `string` → `array<int>` canonical ascii tokens (codegen'd). */
@@ -140,4 +184,6 @@ object TextExprs {
     GraftSql.toColumn(RollingFingerprint(GraftSql.toExpression(tokens.cast("array<int>"))))
   def nonEmptySplitCount(text: Column, regex: String): Column =
     GraftSql.toColumn(NonEmptySplitCount(GraftSql.toExpression(text), regex))
+  def synthTokens(id: Column, seed: Long, vocab: Int): Column =
+    GraftSql.toColumn(SynthTokens(GraftSql.toExpression(id.cast("long")), seed, vocab))
 }

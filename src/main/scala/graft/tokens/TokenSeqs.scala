@@ -67,9 +67,11 @@ object TokenSeqs {
       substring(hex1, 13, 4), lit("-"), substring(hex2, 1, 4), lit("-"),
       substring(hex2, 5, 12)))
 
-    val len = (pmod(mixPos(id, 5), lit(512)) + 1).cast("int") // 1..512 tokens
-    val tokens = transform(sequence(lit(1), len),
-      k => pmod(mixPos(id * 2048 + k.cast("long"), 6), lit(VocabSize)).cast("int"))
+    // 1..512 tokens per row. Native codegen'd generator (graft.expr.
+    // SynthTokens, bit-identical to the HOF form — parity-pinned in
+    // PropertySpec): the transform-over-sequence formulation evaluated one
+    // interpreted xxhash64 tree per token.
+    val tokens = graft.expr.TextExprs.synthTokens(id, seed, VocabSize)
 
     // Zipf-ish skew: 70% web, 15% books, 10% code, 5% wiki (skew-join test bed)
     val r = pmod(mixPos(id, 7), lit(100))

@@ -70,3 +70,23 @@ class SkewSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 }
+
+/** Parity pin: the native SynthTokens generator must be bit-identical to the
+  * Column/HOF formulation it replaced (TokenSeqs.synthesize's contract). */
+class SynthTokensParitySpec extends SparkSpec {
+  test("native SynthTokens equals the xxhash64 HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val seed = 42L
+    val base = spark.range(0, 2000, 1, 4)
+    def mixPos(i: org.apache.spark.sql.Column, salt: Int) =
+      xxhash64(i, lit(salt), lit(seed)).bitwiseAND(lit(Long.MaxValue))
+    val id = col("id")
+    val len = (pmod(mixPos(id, 5), lit(512)) + 1).cast("int")
+    val hof = transform(sequence(lit(1), len),
+      k => pmod(mixPos(id * 2048 + k.cast("long"), 6), lit(4096)).cast("int"))
+    val mismatches = base.select(
+        hof.as("a"), graft.expr.TextExprs.synthTokens(id, seed, 4096).as("b"))
+      .filter(not(col("a") === col("b"))).count()
+    assert(mismatches == 0)
+  }
+}
