@@ -90,3 +90,41 @@ class SynthTokensParitySpec extends SparkSpec {
     assert(mismatches == 0)
   }
 }
+
+/** Randomized cross-check of the distributed two-phase prefix-sum KS against
+  * a driver-side reference computation — pins the bucketing/offset math
+  * (incl. collapsed quantile boundaries on skewed domains). */
+class KsPrefixSumSpec extends SparkSpec {
+  import graft.table.TableChecks
+
+  private def referenceKs(a: Seq[Double], b: Seq[Double]): Double = {
+    val domain = (a ++ b).distinct.sorted
+    val na = a.size.toDouble; val nb = b.size.toDouble
+    domain.map { v =>
+      math.abs(a.count(_ <= v) / na - b.count(_ <= v) / nb)
+    }.max
+  }
+
+  test("ksStatistic matches the scalar reference on random and skewed data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 4) {
+      // trial 3 uses a heavily skewed domain (90% one value) so quantile
+      // boundaries collapse; trial 4 uses disjoint supports
+      val (xs, ys) =
+        if (trial == 3)
+          (Seq.fill(500)(5.0) ++ Seq.fill(50)(rnd.nextInt(20).toDouble),
+           Seq.fill(400)(5.0) ++ Seq.fill(150)(rnd.nextInt(40).toDouble))
+        else if (trial == 4)
+          (Seq.fill(300)(rnd.nextInt(100).toDouble),
+           Seq.fill(300)(100.0 + rnd.nextInt(100)))
+        else
+          (Seq.fill(400)(rnd.nextGaussian() * 10), Seq.fill(500)(rnd.nextGaussian() * 12 + trial))
+      val got = TableChecks.ksStatistic(
+        xs.toDF("v"), ys.toDF("v"), "v", rangeParts = 8)
+        .collect()(0).getDouble(0)
+      val want = referenceKs(xs, ys)
+      assert(math.abs(got - want) < 1e-12, s"trial $trial: got $got want $want")
+    }
+  }
+}
