@@ -3,7 +3,7 @@ package graft.expr
 import org.apache.spark.sql.{Column, GraftSql}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Native vector primitives for the similarity/ANN family. The HOF forms
@@ -27,6 +27,44 @@ object VectorUtil {
     acc
   }
 
+  /** All ordered in-bucket pairs meeting the cosine threshold; see
+    * CosinePairs. Elements: struct(id, v: array<double>, n: double). */
+  def cosinePairs(items: ArrayData, idT: DataType,
+                  minCosine: Double): ArrayData = {
+    val m = items.numElements()
+    val ids = new Array[Any](m)
+    val vecs = new Array[ArrayData](m)
+    val norms = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val s = items.getStruct(i, 3)
+      ids(i) = s.get(0, idT)
+      vecs(i) = s.getArray(1)
+      norms(i) = s.getDouble(2)
+      i += 1
+    }
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(idT)
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        val d = dot(vecs(i), vecs(j))
+        if (d != null) {
+          val c = d.doubleValue() / (norms(i) * norms(j))
+          if (c >= minCosine) {
+            val (a, b) = if (ord.lt(ids(i), ids(j))) (ids(i), ids(j)) else (ids(j), ids(i))
+            out += org.apache.spark.sql.catalyst.InternalRow(a, b, c)
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Sign-LSH bucket id over `numPlanes` hyperplanes (flattened row-major):
     * bit i set iff dot(v, plane_i) > 0. A null/short vector sets no bit for
     * that plane (null projection compares false), same as the Column form. */
@@ -48,6 +86,31 @@ object VectorUtil {
     }
     bucket
   }
+}
+
+/** Bucket-local near-dup verification: input `array<struct<id, v:array<double>,
+  * n:double>>` (one LSH bucket's members), output
+  * `array<struct<id_a, id_b, cosine:double>>` — every ordered pair whose
+  * cosine (dot/(n_a·n_b)) meets the threshold. All O(B²) dot products run
+  * INSIDE this codegen'd expression on co-located data; only survivors are
+  * ever emitted, so nothing but (id, id, cosine) survivors reach a shuffle —
+  * no candidate-pair materialization, no vector join-back. */
+case class CosinePairs(child: Expression, minCosine: Double) extends UnaryExpression {
+  private def elemStruct: StructType = child.dataType
+    .asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
+  private def idT: DataType = elemStruct(0).dataType
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id_a", idT), StructField("id_b", idT),
+    StructField("cosine", DoubleType))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorUtil.cosinePairs(v.asInstanceOf[ArrayData], idT, minCosine)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idRef = ctx.addReferenceObj("cpIdType", idT, "org.apache.spark.sql.types.DataType")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expr.VectorUtil.cosinePairs($c, $idRef, $minCosine)")
+  }
+  override protected def withNewChildInternal(c: Expression): CosinePairs = copy(child = c)
 }
 
 /** `array<double> × array<double> → double` dot product (codegen'd). */
@@ -98,4 +161,6 @@ object VectorExprs {
   def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     GraftSql.toColumn(SignLshBucket(GraftSql.toExpression(asDoubleArray(v)),
       planes.flatten, planes.length))
+  def cosinePairs(items: Column, minCosine: Double): Column =
+    GraftSql.toColumn(CosinePairs(GraftSql.toExpression(items), minCosine))
 }
