@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   * @param ksThreshold    per-partition KS statistic above this fails drift
   * @param chi2PMin       chi-squared p-value below this fails drift
   * @param saltBuckets    salt fan-out for the uniqueness pre-aggregation
+  * @param persistFacts   cache the pending fact table (MEMORY_AND_DISK)
+  *                       across the pipeline's passes. The pipeline scans the
+  *                       facts once per check family (row constraints, RI,
+  *                       uniqueness, stats, drift) — the right default at
+  *                       100 TB where nothing caches, but measured 40×
+  *                       read amplification pain on one slow disk at 10^7
+  *                       rows. Enable when the input fits the cluster's
+  *                       storage memory.
   */
 final case class PipelineConfig(
     schemaJson: String,
@@ -36,7 +44,8 @@ final case class PipelineConfig(
     driftCatCol: Option[String] = Some("source"),
     ksThreshold: Double = 0.1,
     chi2PMin: Double = 0.001,
-    saltBuckets: Int = 64)
+    saltBuckets: Int = 64,
+    persistFacts: Boolean = false)
 
 final case class PipelineResult(violations: DataFrame, manifest: DataFrame)
 
@@ -82,7 +91,7 @@ object ValidationPipeline {
     val part = col(cfg.partCol)
 
     // ---------------- resume: drop partitions already completed ----------------
-    val pending: DataFrame = manifest match {
+    val pending0: DataFrame = manifest match {
       case Some(m) =>
         val done = m.completedPartitions(runId)
           .select(col("partition_key").as(cfg.partCol))
@@ -93,6 +102,10 @@ object ValidationPipeline {
           Seq(cfg.partCol), "left_anti")
       case None => facts
     }
+    val pending =
+      if (cfg.persistFacts)
+        pending0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else pending0
 
     // ---------------- 1. row-level constraint violations ----------------
     // two-phase: codegen'd validity filter first, violation construction
