@@ -288,12 +288,29 @@ object SparkEntry {
         .select(col("w.start").as("w_start"), col("event_type"),
           col("cnt"), round(col("sum_value"), 4).as("sum_value"))),
 
-    // ---- t-digest quantile sketch (custom TypedImperativeAggregate;
-    //      approximate, so driver records the rows-only check — accuracy is
-    //      pinned against exact quantiles in TDigestSpec) ----
-    "q_tdigest_ntok" -> ((s, dir) =>
-      TableChecks.tdigestQuantiles(t(s, dir, "documents"), "n_chars",
-        Seq(0.5, 0.95, 0.99))),
+    // ---- t-digest quantile sketch (custom TypedImperativeAggregate).
+    //      DuckDB cannot reproduce the sketch itself, so the driver-checkable
+    //      contract is a tolerance check: the query emits the EXACT quantiles
+    //      (hash-compared against quantile_cont) plus `ok_*` booleans
+    //      |tdigest_p − exact_p| ≤ 2%·max(|exact_p|,1); the oracle asserts the
+    //      booleans are all true. A drifting sketch flips ok_* to false and
+    //      the driver hash goes red. (Accuracy is additionally pinned against
+    //      exact quantiles across distributions in TDigestSpec.) ----
+    "q_tdigest_ntok" -> ((s, dir) => {
+      val probs = Seq(0.5, 0.95, 0.99)
+      val agged = t(s, dir, "documents").agg(
+        graft.functions.TDigestQuantiles(col("n_chars"), probs, 100.0).as("td"),
+        expr("percentile(n_chars, array(0.5D, 0.95D, 0.99D))").as("ex"))
+      val cols = probs.zipWithIndex.flatMap { case (p, i) =>
+        val tag = (p * 100).toInt
+        Seq(
+          round(element_at(col("ex"), i + 1), 4).as(s"exact_p$tag"),
+          (abs(element_at(col("td"), i + 1) - element_at(col("ex"), i + 1)) <=
+            lit(0.02) * greatest(abs(element_at(col("ex"), i + 1)), lit(1.0)))
+            .as(s"ok_p$tag"))
+      }
+      agged.select(cols: _*)
+    }),
 
     // ---- untyped-JSON ingestion: from_json into the schema-derived struct,
     //      validated by the same compiled plan (graft.sources.JsonIngest) ----
@@ -375,14 +392,15 @@ object SparkEntry {
         s"SELECT doc_id, source FROM documents WHERE source NOT IN ($allowedSrc)",
 
       "q_stats_lineitem" ->
+        // sum(CASE...) yields HUGEINT in DuckDB; ::BIGINT matches Spark's LongType
         """SELECT 'l_quantity' AS col_name, count(*) AS row_count,
-             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_count,
+             sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_count,
              CAST(min(l_quantity) AS DOUBLE) AS min_v,
              CAST(max(l_quantity) AS DOUBLE) AS max_v,
              count(DISTINCT l_quantity) AS n_distinct FROM lineitem
            UNION ALL
            SELECT 'l_extendedprice', count(*),
-             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+             sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
              CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
              count(DISTINCT l_extendedprice) FROM lineitem""",
 
@@ -435,10 +453,12 @@ object SparkEntry {
 
       "q_fingerprint" -> {
         val pows = (0 until 8).map(i => math.pow(31.0, i).toLong).mkString("[", ",", "]")
+        // list_sum yields HUGEINT in DuckDB; the final ::BIGINT matches
+        // Spark's LongType output (values verified identical)
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks FROM documents)
            SELECT doc_id,
-             ((list_sum(list_transform(range(1, len(toks)+1),
-               i -> toks[i]::BIGINT * ($pows::BIGINT[])[((i-1) % 8) + 1])) % $P) + $P) % $P AS fp
+             (((list_sum(list_transform(range(1, len(toks)+1),
+               i -> toks[i]::BIGINT * ($pows::BIGINT[])[((i-1) % 8) + 1])) % $P) + $P) % $P)::BIGINT AS fp
            FROM ts"""
       },
 
@@ -451,9 +471,13 @@ object SparkEntry {
         "SELECT count(*) AS cnt FROM (SELECT min(doc_id) FROM documents GROUP BY text)",
 
       "q_jaccard_pairs" ->
+        // `ok` mirrors Spark's maxDocFreq=1000 hot-shingle cap so the oracle
+        // and engine drop the same stop-shingles at any scale factor
         s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
            sh AS (SELECT id, list_distinct($shSql) s FROM ts WHERE len(toks) >= 3),
-           ex AS (SELECT id, len(s) n, unnest(s) sv FROM sh),
+           ex0 AS (SELECT id, len(s) n, unnest(s) sv FROM sh),
+           ok AS (SELECT sv FROM ex0 GROUP BY sv HAVING count(*) <= 1000),
+           ex AS (SELECT ex0.* FROM ex0 JOIN ok USING (sv)),
            pairs AS (
              SELECT a.id id_a, b.id id_b, count(*) shared,
                     any_value(a.n) n_a, any_value(b.n) n_b
@@ -468,9 +492,12 @@ object SparkEntry {
           val parts = (0 until 4).map(j => s"(${mh(bi * 4 + j)})::VARCHAR")
           s"SELECT id, toks, $bi band, concat_ws('_', ${parts.mkString(", ")}) bkey FROM sig"
         }.mkString(" UNION ALL ")
+        // bok mirrors Spark's maxBucket=1000 hot-bucket cap (banded-LSH guard)
         s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
            sig AS (SELECT id, toks, list_distinct($shSql) sh FROM ts WHERE len(toks) > 2),
-           bands AS ($bandKeys),
+           bands0 AS ($bandKeys),
+           bok AS (SELECT band, bkey FROM bands0 GROUP BY 1, 2 HAVING count(*) <= 1000),
+           bands AS (SELECT bands0.* FROM bands0 JOIN bok USING (band, bkey)),
            cand AS (SELECT DISTINCT a.id id_a, b.id id_b, a.toks t_a, b.toks t_b
              FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
            v AS (SELECT id_a, id_b,
@@ -501,11 +528,13 @@ object SparkEntry {
                CASE WHEN list_sum(list_transform(hs, v -> ((v >> bit) & 1) * 2 - 1)) > 0
                     THEN (1::BIGINT << bit) ELSE 0 END))::BIGINT sig
              FROM h),
-           bands AS (
+           bands0 AS (
              SELECT id, sig, 0 b, (sig >> 0) & 255 bkey FROM sig UNION ALL
              SELECT id, sig, 1, (sig >> 8) & 255 FROM sig UNION ALL
              SELECT id, sig, 2, (sig >> 16) & 255 FROM sig UNION ALL
              SELECT id, sig, 3, (sig >> 24) & 255 FROM sig),
+           bok AS (SELECT b, bkey FROM bands0 GROUP BY 1, 2 HAVING count(*) <= 1000),
+           bands AS (SELECT bands0.* FROM bands0 JOIN bok USING (b, bkey)),
            cand AS (SELECT DISTINCT a.id id_a, b2.id id_b, a.sig sa, b2.sig sb
              FROM bands a JOIN bands b2
                ON a.b = b2.b AND a.bkey = b2.bkey AND a.id < b2.id)
@@ -549,7 +578,9 @@ object SparkEntry {
         s"""WITH n AS (SELECT vec_id id, embedding::DOUBLE[] v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
            FROM embeddings),
-           bk AS ($bucketSelects),
+           bk0 AS ($bucketSelects),
+           bok AS (SELECT t, b FROM bk0 GROUP BY 1, 2 HAVING count(*) <= 1000),
+           bk AS (SELECT bk0.* FROM bk0 JOIN bok USING (t, b)),
            cand AS (SELECT DISTINCT a.id id_a, b2.id id_b FROM bk a
              JOIN bk b2 ON a.t = b2.t AND a.b = b2.b AND a.id < b2.id)
            SELECT id_a, id_b,
@@ -632,9 +663,20 @@ object SparkEntry {
            WHERE props IS NOT NULL
              AND (json_extract_string(props, '$.k') IS NULL
                   OR CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
-                  OR CAST(json_extract_string(props, '$.k') AS BIGINT) < 0)"""
-      // q_tdigest_ntok: approximate sketch — deliberately no SQL oracle;
-      // the driver records the rows-only check (TDigestSpec pins accuracy)
+                  OR CAST(json_extract_string(props, '$.k') AS BIGINT) < 0)""",
+
+      // t-digest tolerance contract: exact quantiles hash-compared, ok_*
+      // booleans assert the sketch stayed within ±2% of exact (the Spark
+      // side computes them from the real digest; a drifting sketch flips
+      // them false and mismatches these literal trues)
+      "q_tdigest_ntok" ->
+        """SELECT round(quantile_cont(n_chars, 0.50), 4) AS exact_p50,
+             true AS ok_p50,
+             round(quantile_cont(n_chars, 0.95), 4) AS exact_p95,
+             true AS ok_p95,
+             round(quantile_cont(n_chars, 0.99), 4) AS exact_p99,
+             true AS ok_p99
+           FROM documents"""
     )
   }
 }

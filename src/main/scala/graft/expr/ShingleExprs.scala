@@ -76,6 +76,12 @@ object ShingleUtil {
     * element types ride along so any id type works. */
   def postingPairs(ids: ArrayData, idT: DataType, nT: DataType): ArrayData = {
     val n = ids.numElements()
+    // n·(n−1)/2 as Int overflows (→ negative array size) past 65535 elements;
+    // callers cap posting lists well below this, but a raised maxBucket /
+    // maxDocFreq must fail with an actionable message, not a crash
+    require(n <= 65535,
+      s"posting list of $n elements would emit ${n.toLong * (n - 1) / 2} pairs; " +
+        "cap the bucket (maxBucket/maxDocFreq <= 65535) before pair generation")
     val out = new Array[Any](n * (n - 1) / 2)
     var w = 0
     var i = 0

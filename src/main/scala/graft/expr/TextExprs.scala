@@ -12,9 +12,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * rolling fingerprint, and piece counting. Their HOF formulations
   * (`transform`/`filter`/`aggregate` over `split`) are CodegenFallback; one
   * of them in a projection forces the whole operator into interpreted eval.
-  * Semantics are identical to the Column forms and the DuckDB oracle SQL
-  * (split on single space keeps empty tokens, ascii = first code point,
-  * length = code-point count, long arithmetic wraps, sums left-to-right). */
+  * Semantics match the DuckDB oracle SQL (split on single space keeps empty
+  * tokens, ascii = first CODE POINT, length = code-point count, long
+  * arithmetic wraps, sums left-to-right). The code-point choice is the
+  * load-bearing semantic: it matches DuckDB's `ascii()`, and Spark 4.1.2's
+  * `ascii()` empirically agrees (first code point, not first UTF-8 byte) —
+  * the three-way agreement on non-ASCII text is pinned by NonAsciiTokenSpec
+  * so any Spark behavior change surfaces as a test failure, not a silent
+  * oracle divergence. */
 object TextUtil {
   /** token(word) = ascii(word)·32 + min(len(word), 31) over ' '-split text. */
   def asciiTokens(text: UTF8String): ArrayData = {

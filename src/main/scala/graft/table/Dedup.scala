@@ -21,6 +21,7 @@ import org.apache.spark.sql.expressions.Window
 object Dedup {
 
   private val P = 2147483647L // 2^31 - 1
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.table.Dedup")
 
   /** Deterministic 3-gram shingles of a token array, as longs:
     * s_i = t_i·2^24 + t_{i+1}·2^12 + t_{i+2} (collision-free for vocab ≤ 4096).
@@ -95,9 +96,13 @@ object Dedup {
     // The wide exchanges carry only (shingle, id) and (id_a, id_b).
     // (id, n_sh) rides along into the posting lists so nothing ever needs to
     // re-derive shingles for the per-doc set sizes.
+    // CappedCollectList bounds each posting buffer at maxDocFreq+1 slots —
+    // a stop-shingle at web scale costs O(cap) memory, not O(doc_freq),
+    // before the size filter drops it
     val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
     val postings = exploded.groupBy("s")
-      .agg(sort_array(collect_list(struct(col("id"), col("n_sh")))).as("ids"))
+      .agg(sort_array(graft.expr.CappedCollectList(
+        struct(col("id"), col("n_sh")), maxDocFreq)).as("ids"))
       .filter(size(col("ids")).between(2, maxDocFreq))
     // ordered pairs within each posting list: (ids[i], ids[j]) for i < j —
     // native codegen'd expression (graft.expr.PostingPairs)
@@ -137,7 +142,8 @@ object Dedup {
   private def lshCandidatePairs(buckets: DataFrame, bucketCol: String,
                                 maxBucket: Int): DataFrame =
     buckets.groupBy(bucketCol)
-      .agg(sort_array(collect_list(struct(col("id").as("id"), lit(0).as("n")))).as("ids"))
+      .agg(sort_array(graft.expr.CappedCollectList(
+        struct(col("id").as("id"), lit(0).as("n")), maxBucket)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(graft.expr.ShingleExprs.postingPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b")).distinct()
@@ -219,7 +225,8 @@ object Dedup {
     // rides in the list's second slot so verification needs no join-back
     val buckets = sigs.select(col("id"), col("sig"), explode(array(bandCols: _*)).as("bk"))
     buckets.groupBy("bk")
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("ids"))
+      .agg(sort_array(graft.expr.CappedCollectList(
+        struct(col("id"), col("sig")), maxBucket)).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(graft.expr.ShingleExprs.postingPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"),
@@ -243,13 +250,24 @@ object Dedup {
     * (`bruteForceMax`) that the exact O(n²) self-join is cheaper than
     * bucketing — brute force is the exactness baseline, LSH the scale path. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        minCosine: Double, bruteForceMax: Long = 10000L): DataFrame =
-    // auto-routing costs one EAGER count() job over the input at
-    // plan-construction time (a full scan if the input is filtered or
-    // derived) — callers that already know their scale should call
+                        minCosine: Double, bruteForceMax: Long = 10000L): DataFrame = {
+    // auto-routing probes with limit(max+1).count() — an eager action, but it
+    // reads at most bruteForceMax+1 rows (the limit short-circuits the scan),
+    // never the full input. Callers that already know their scale should call
     // bruteForceNearDups / lshNearDups directly.
-    if (df.count() <= bruteForceMax) bruteForceNearDups(df, idCol, vecCol, minCosine)
-    else lshNearDups(df, idCol, vecCol, minCosine)
+    require(bruteForceMax < Int.MaxValue, "bruteForceMax must fit an Int limit")
+    val probe = df.select(col(idCol)).limit(bruteForceMax.toInt + 1).count()
+    if (probe <= bruteForceMax) bruteForceNearDups(df, idCol, vecCol, minCosine)
+    else {
+      // surface the exact→approximate switch: LSH drops hot buckets and can
+      // miss pairs, which must never be mistaken for the exact result
+      log.warn(
+        s"embeddingNearDups: input exceeds bruteForceMax=$bruteForceMax rows; " +
+          "routing to APPROXIMATE sign-LSH (lshNearDups, hot buckets capped). " +
+          "Call bruteForceNearDups explicitly if exact pairs are required.")
+      lshNearDups(df, idCol, vecCol, minCosine)
+    }
+  }
 
   /** Exact O(n²) near-dup pairs — small-n baseline ONLY (cartesian). */
   def bruteForceNearDups(df: DataFrame, idCol: String, vecCol: String,
@@ -284,10 +302,14 @@ object Dedup {
     // materialization, no vector join-back (measured 380s → seconds at 10^6
     // vectors). Hot buckets (> maxBucket members, O(B²) mostly-dissimilar
     // work) are dropped, the standard banded-LSH guard.
+    // the capped collect bounds a degenerate bucket (e.g. near-zero vectors
+    // all signing to bucket 0) at maxBucket+1 VECTORS of buffer, not the
+    // whole cluster's worth, before the size filter drops it
     val buckets = vn.select(
       struct(col("id"), col("v").cast("array<double>").as("v"), col("n")).as("m"),
       explode(array(tables: _*)).as("tb"))
-    buckets.groupBy("tb").agg(collect_list(col("m")).as("ms"))
+    buckets.groupBy("tb")
+      .agg(graft.expr.CappedCollectList(col("m"), maxBucket).as("ms"))
       .filter(size(col("ms")).between(2, maxBucket))
       .select(explode(graft.expr.VectorExprs.cosinePairs(col("ms"), minCosine)).as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
