@@ -20,7 +20,8 @@ import org.json4s._
   *   (schema.go:727-737): format is annotation-only unless enabled.
   */
 final case class CompileOpts(nullIsAbsent: Boolean = true,
-                             validateFormat: Boolean = true)
+                             validateFormat: Boolean = true,
+                             regexPolicy: RegexPolicy = RegexPolicy.Re2Strict)
 
 /** A compiled (sub)schema: a boolean validity predicate plus a column of
   * violation records — `array<struct<keyword,keywordLocation,instanceLocation,
@@ -122,6 +123,18 @@ object ConstraintCompiler {
   private def compileObj(s: ObjSchema, ctx: Ctx, target: Column, dt: DataType,
                          kwLoc: String, instLoc: Column): Compiled = {
     val kws = s.keywords
+
+    // RE2-dialect gate (SURVEY §7.4.3): every schema-supplied pattern is
+    // checked ONCE at compile time against the policy — the reference's Go
+    // RE2 engine rejects Java-only constructs (validator.go:1008), so
+    // accepting them silently would diverge row-for-row on such schemas
+    kws.foreach {
+      case PatternK(p) =>
+        RegexDialect.check(p, s"$kwLoc/pattern", ctx.opts.regexPolicy)
+      case PatternPropertiesK(pats) => pats.foreach { case (p, _) =>
+        RegexDialect.check(p, s"$kwLoc/patternProperties", ctx.opts.regexPolicy) }
+      case _ => ()
+    }
 
     // --- keyword groups that share compile-time state (the reference's
     //     Notes channel, resolved statically per SURVEY §2 mapping) ---
@@ -887,7 +900,8 @@ object ConstraintCompiler {
           throw new IllegalArgumentException(
             s"unsupported: \\$$ref cycle without data descent at $ref")
         val (rawT, baseT, ownerT) = ctx.doc.resolveRefFull(ref)
-        val sub = SchemaParser.parseNode(rawT, baseT)
+        // parse the target under its OWNING document's dialect
+        val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
         Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref,
             dynScope = pushScope(ctx.dynScope, ownerT, baseT)),
           target, dt, loc("$ref"), instLoc))
@@ -916,7 +930,7 @@ object ConstraintCompiler {
                 (d.scopedDynAnchors((b, frag)), b, d)
             }.getOrElse((raw0, base0, owner0))
           else (raw0, base0, owner0)
-        val sub = SchemaParser.parseNode(rawT, baseT)
+        val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
         Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref,
             dynScope = pushScope(ctx.dynScope, ownerT, baseT)),
           target, dt, loc("$dynamicRef"), instLoc))
@@ -943,7 +957,9 @@ object ConstraintCompiler {
     case BoolSchema(b) => b
     case ObjSchema(kws) => kws.forall {
       case TypeK(ts) => ts.contains("string")
-      case PatternK(p) => java.util.regex.Pattern.compile(p).matcher(name).find()
+      case PatternK(p) =>
+        RegexDialect.check(p, "propertyNames/pattern", ctx.opts.regexPolicy)
+        java.util.regex.Pattern.compile(p).matcher(name).find()
       case MinLengthK(n) => name.codePointCount(0, name.length) >= n
       case MaxLengthK(n) => name.codePointCount(0, name.length) <= n
       case EnumK(vs) => vs.contains(JString(name))

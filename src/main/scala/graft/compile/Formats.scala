@@ -146,13 +146,17 @@ object Formats {
     * UDF sits off the whole-stage-codegen path, so a schema applying
     * format:regex to a data column trades codegen for fidelity. (The
     * compile-time `pattern`-argument check stays static and exact.)
-    * Dialect note: Java accepts a superset of Go's RE2 (backreferences,
-    * lookaround), so some Go-invalid patterns pass; structural garbage —
-    * unbalanced groups/classes, bad escapes — is rejected identically. */
+    * Dialect note: Java's Pattern accepts a superset of Go's RE2, so the
+    * parse is paired with the RegexDialect scanner — instance strings using
+    * Java-only constructs (backreferences, lookaround, atomic groups,
+    * possessive quantifiers) are REJECTED like Go's
+    * `regexp/syntax.Parse(s, syntax.Perl)` rejects them. Residual gap: exotic
+    * Java-only escapes outside the scanner's list still pass. */
   private lazy val regexValid =
     udf { s: String =>
-      s == null || (try { java.util.regex.Pattern.compile(s); true }
-                    catch { case _: Exception => false })
+      s == null || ((try { java.util.regex.Pattern.compile(s); true }
+                     catch { case _: Exception => false }) &&
+                    graft.compile.RegexDialect.isRe2Compatible(s))
     }
 
   /** User-registered format validators — the extension point mirroring

@@ -1,0 +1,126 @@
+package graft.compile
+
+/** RE2-dialect guard (SURVEY §7.4.3). The reference compiles every schema
+  * regex with Go's RE2 engine (`regexp.Compile`,
+  * `/root/reference/internal/validator/validator.go:1008`; `format: regex`
+  * parses with `regexp/syntax.Parse(s, syntax.Perl)`,
+  * `/root/reference/pkg/format/regex.go:15-24`). Java's `Pattern` accepts a
+  * strict SUPERSET — backreferences, lookaround, atomic groups, possessive
+  * quantifiers, conditionals — so a schema using them would compile here but
+  * be rejected by the reference: silent row-for-row divergence. This scanner
+  * detects those constructs so the compiler can reject them (default,
+  * reference parity) or a caller can opt into the Java superset explicitly.
+  *
+  * The scan is a little lexer tracking escape state and character-class
+  * nesting — NOT a full RE2 parser: it flags the known Java-only constructs
+  * rather than proving RE2-validity. Plain syntax errors are still caught by
+  * the Java `Pattern.compile` that always runs alongside. */
+object RegexDialect {
+
+  /** Human-readable list of RE2-incompatible constructs found in `pattern`
+    * (empty = no known Java-only construct). */
+  def re2Incompatibilities(pattern: String): List[String] = {
+    val found = scala.collection.mutable.LinkedHashSet.empty[String]
+    var i = 0
+    var inClass = false
+    // was the previous significant char an unescaped quantifier (* + ? })?
+    var prevQuant = false
+    val n = pattern.length
+    while (i < n) {
+      val c = pattern.charAt(i)
+      var quantNow = false
+      if (c == '\\') {
+        if (i + 1 < n) {
+          val e = pattern.charAt(i + 1)
+          if (!inClass && e >= '1' && e <= '9')
+            found += s"backreference \\$e"
+          else if (!inClass && e == 'k' && i + 2 < n && pattern.charAt(i + 2) == '<')
+            found += "named backreference \\k<...>"
+          else if (e == 'Z') found += "\\Z anchor (RE2 has only \\z)"
+          else if (e == 'G') found += "\\G anchor"
+        }
+        i += 2 // skip the escaped char entirely
+      } else if (inClass) {
+        if (c == ']') inClass = false
+        i += 1
+      } else c match {
+        case '[' =>
+          inClass = true
+          // a leading ']' right after '[' or '[^' is a literal in Java; RE2
+          // treats it the same way — no flag needed, just skip it
+          if (i + 1 < n && pattern.charAt(i + 1) == '^' &&
+              i + 2 < n && pattern.charAt(i + 2) == ']') i += 2
+          else if (i + 1 < n && pattern.charAt(i + 1) == ']') i += 1
+          i += 1
+        case '(' if i + 1 < n && pattern.charAt(i + 1) == '?' =>
+          if (i + 2 < n) pattern.charAt(i + 2) match {
+            case '=' => found += "lookahead (?=...)"
+            case '!' => found += "negative lookahead (?!...)"
+            case '>' => found += "atomic group (?>...)"
+            case '(' => found += "conditional (?(...)...)"
+            case '<' if i + 3 < n && (pattern.charAt(i + 3) == '=' ||
+                                      pattern.charAt(i + 3) == '!') =>
+              found += "lookbehind (?<=...) / (?<!...)"
+            case _ => // (?:, (?i), (?<name> — all RE2-valid
+          }
+          i += 2 // consume "(?"; the discriminator is re-scanned harmlessly
+        case '*' | '?' =>
+          quantNow = true; i += 1
+        case '+' =>
+          if (prevQuant) found += "possessive quantifier (*+ / ++ / ?+ / {m,n}+)"
+          quantNow = true; i += 1
+        case '{' =>
+          // only a real {m} / {m,} / {m,n} counts as a quantifier; a literal
+          // '{' (or '}') must not trigger the possessive detector
+          val end = braceQuantEnd(pattern, i)
+          if (end > 0) { i = end; quantNow = true } else i += 1
+        case _ =>
+          i += 1
+      }
+      prevQuant = quantNow
+    }
+    found.toList
+  }
+
+  /** Index just past the '}' if pattern(i)='{' starts a {m}/{m,}/{m,n}
+    * quantifier, else -1. */
+  private def braceQuantEnd(pattern: String, i: Int): Int = {
+    var j = i + 1
+    val n = pattern.length
+    var digits = 0
+    while (j < n && pattern.charAt(j).isDigit) { digits += 1; j += 1 }
+    if (digits == 0) return -1
+    if (j < n && pattern.charAt(j) == ',') {
+      j += 1
+      while (j < n && pattern.charAt(j).isDigit) j += 1
+    }
+    if (j < n && pattern.charAt(j) == '}') j + 1 else -1
+  }
+
+  def isRe2Compatible(pattern: String): Boolean = re2Incompatibilities(pattern).isEmpty
+
+  /** Compile-time gate: throws (Re2Strict, the default — matching the
+    * reference's Go `regexp.Compile` rejection) or passes silently
+    * (JavaSuperset opt-in). `where` names the keyword site for the error. */
+  def check(pattern: String, where: String, policy: RegexPolicy): Unit =
+    policy match {
+      case RegexPolicy.JavaSuperset => ()
+      case RegexPolicy.Re2Strict =>
+        val bad = re2Incompatibilities(pattern)
+        if (bad.nonEmpty) throw new IllegalArgumentException(
+          s"$where pattern '$pattern' uses Java-only regex constructs the " +
+            s"reference's RE2 engine rejects: ${bad.mkString("; ")}. " +
+            "Use CompileOpts(regexPolicy = RegexPolicy.JavaSuperset) to " +
+            "accept the Java dialect (diverges from the reference).")
+    }
+}
+
+/** Which regex dialect schema-supplied patterns may use. */
+sealed abstract class RegexPolicy
+object RegexPolicy {
+  /** Reject Java-only constructs at compile time (reference parity). */
+  case object Re2Strict extends RegexPolicy
+  /** Accept the full Java dialect — documented divergence from the
+    * reference, for callers that control their schemas. */
+  case object JavaSuperset extends RegexPolicy
+}

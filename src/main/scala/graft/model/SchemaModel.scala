@@ -116,7 +116,8 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
                            baseUri: String = "",
                            resources: Map[String, JValue] = Map.empty,
                            scopedAnchors: Map[(String, String), JValue] = Map.empty,
-                           scopedDynAnchors: Map[(String, String), JValue] = Map.empty) {
+                           scopedDynAnchors: Map[(String, String), JValue] = Map.empty,
+                           dialect: Dialect = Dialects.draft202012) {
 
   private def splitRef(ref: String): (String, String) = {
     val i = ref.indexOf('#')
@@ -223,10 +224,20 @@ object SchemaParser {
       }
       case _ => retrievalUri
     }
+    // $schema selects the keyword dialect for the whole document
+    // (buildTopFromJSON, schema.go:420-465); unknown URIs fall back
+    val dialect = Dialects.forSchemaUri(raw match {
+      case o: JObject => o \ "$schema" match {
+        case JString(u) => Some(u)
+        case _ => None
+      }
+      case _ => None
+    })
     val tables = collectScoped(raw, rootBase, ScopedTables())
-    SchemaDoc(parseNode(raw, retrievalUri), raw, anchors, dynAnchors,
+    SchemaDoc(parseNode(raw, retrievalUri, dialect), raw, anchors, dynAnchors,
       baseUri = rootBase, resources = tables.resources,
-      scopedAnchors = tables.anchors, scopedDynAnchors = tables.dynAnchors)
+      scopedAnchors = tables.anchors, scopedDynAnchors = tables.dynAnchors,
+      dialect = dialect)
   }
 
   private final case class ScopedTables(
@@ -284,9 +295,11 @@ object SchemaParser {
     * builder.go:149-224). */
   private def childSchemas(o: JObject): Seq[JValue] = o.obj.flatMap {
     case (k, v) => k match {
-      case "items" | "contains" | "additionalProperties" | "propertyNames" |
+      // draft-7 array-form items: each element is a schema position
+      case "items" => v match { case JArray(xs) => xs; case s => Seq(s) }
+      case "contains" | "additionalProperties" | "propertyNames" |
            "not" | "if" | "then" | "else" | "unevaluatedProperties" |
-           "unevaluatedItems" | "contentSchema" => Seq(v)
+           "unevaluatedItems" | "contentSchema" | "additionalItems" => Seq(v)
       case "properties" | "patternProperties" | "dependentSchemas" |
            "$defs" | "definitions" =>
         v match { case m: JObject => m.obj.map(_._2); case _ => Nil }
@@ -313,19 +326,24 @@ object SchemaParser {
     case _ => acc
   }
 
-  def parseNode(v: JValue): SchemaNode = parseNode(v, "")
+  def parseNode(v: JValue): SchemaNode = parseNode(v, "", Dialects.draft202012)
 
-  /** Parse under a base URI: a subschema `$id` re-bases its children, and
-    * `$ref`/`$dynamicRef` values absolutize against the in-scope base (so the
-    * compiled RefK needs no positional context at resolution time). */
-  def parseNode(v: JValue, base: String): SchemaNode = v match {
+  def parseNode(v: JValue, base: String): SchemaNode =
+    parseNode(v, base, Dialects.draft202012)
+
+  /** Parse under a base URI and dialect: a subschema `$id` re-bases its
+    * children, `$ref`/`$dynamicRef` values absolutize against the in-scope
+    * base (so the compiled RefK needs no positional context at resolution
+    * time), and the document's `$schema`-selected dialect governs keyword
+    * parsing throughout. */
+  def parseNode(v: JValue, base: String, d: Dialect): SchemaNode = v match {
     case JBool(b) => BoolSchema(b)
     case o: JObject =>
       val newBase = o \ "$id" match {
         case JString(id) => resolveUri(base, stripFragment(id))
         case _ => base
       }
-      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv, newBase) }.toVector
+      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv, newBase, d) }.toVector
       ObjSchema(kws)
     case other =>
       throw new IllegalArgumentException(s"schema must be object or boolean, got $other")
@@ -353,14 +371,22 @@ object SchemaParser {
     case JArray(items) => items.map(str)
     case other => throw new IllegalArgumentException(s"expected string array, got $other")
   }
-  private def schemas(v: JValue, base: String): Vector[SchemaNode] = v match {
-    case JArray(items) => items.map(parseNode(_, base)).toVector
+  private def schemas(v: JValue, base: String, d: Dialect): Vector[SchemaNode] = v match {
+    case JArray(items) => items.map(parseNode(_, base, d)).toVector
     case other => throw new IllegalArgumentException(s"expected schema array, got $other")
   }
 
-  /** One keyword → zero-or-one typed Keyword. Unknown keywords are retained
-    * as always-valid annotations, matching schema.go:521-532. */
-  private def parseKeyword(k: String, v: JValue, base: String): Option[Keyword] = Some(k match {
+  /** One keyword → zero-or-one typed Keyword. The document dialect's
+    * overrides are consulted first (draft-7 array `items`/`additionalItems`);
+    * unknown keywords are retained as always-valid annotations, matching
+    * schema.go:521-532. */
+  private def parseKeyword(k: String, v: JValue, base: String,
+                           d: Dialect): Option[Keyword] = {
+    d.overrides(k, v, base) match {
+      case some @ Some(_) => return some
+      case None => ()
+    }
+    Some(k match {
     case "type" => v match {
       case JString(s) => TypeK(Set(s))
       case JArray(items) => TypeK(items.map(str).toSet)
@@ -381,9 +407,9 @@ object SchemaParser {
     case "pattern" => PatternK(str(v))
     case "format" => FormatK(str(v))
     case "default" => DefaultK(v)
-    case "items" => ItemsK(parseNode(v, base))
-    case "prefixItems" => PrefixItemsK(schemas(v, base))
-    case "contains" => ContainsK(parseNode(v, base))
+    case "items" => ItemsK(parseNode(v, base, d))
+    case "prefixItems" => PrefixItemsK(schemas(v, base, d))
+    case "contains" => ContainsK(parseNode(v, base, d))
     case "minContains" => MinContainsK(int(v))
     case "maxContains" => MaxContainsK(int(v))
     case "minItems" => MinItemsK(int(v))
@@ -393,22 +419,22 @@ object SchemaParser {
       case other => throw new IllegalArgumentException(s"bad uniqueItems: $other")
     })
     case "properties" => v match {
-      case o: JObject => PropertiesK(o.obj.map { case (n, s) => n -> parseNode(s, base) }.toVector)
+      case o: JObject => PropertiesK(o.obj.map { case (n, s) => n -> parseNode(s, base, d) }.toVector)
       case other => throw new IllegalArgumentException(s"bad properties: $other")
     }
     case "patternProperties" => v match {
-      case o: JObject => PatternPropertiesK(o.obj.map { case (n, s) => n -> parseNode(s, base) }.toVector)
+      case o: JObject => PatternPropertiesK(o.obj.map { case (n, s) => n -> parseNode(s, base, d) }.toVector)
       case other => throw new IllegalArgumentException(s"bad patternProperties: $other")
     }
-    case "additionalProperties" => AdditionalPropertiesK(parseNode(v, base))
-    case "propertyNames" => PropertyNamesK(parseNode(v, base))
+    case "additionalProperties" => AdditionalPropertiesK(parseNode(v, base, d))
+    case "propertyNames" => PropertyNamesK(parseNode(v, base, d))
     case "required" => RequiredK(strings(v))
     case "dependentRequired" => v match {
       case o: JObject => DependentRequiredK(o.obj.map { case (n, l) => n -> strings(l) }.toVector)
       case other => throw new IllegalArgumentException(s"bad dependentRequired: $other")
     }
     case "dependentSchemas" => v match {
-      case o: JObject => DependentSchemasK(o.obj.map { case (n, s) => n -> parseNode(s, base) }.toVector)
+      case o: JObject => DependentSchemasK(o.obj.map { case (n, s) => n -> parseNode(s, base, d) }.toVector)
       case other => throw new IllegalArgumentException(s"bad dependentSchemas: $other")
     }
     // draft-7 `dependencies`: list form = dependentRequired, schema form =
@@ -417,28 +443,29 @@ object SchemaParser {
       case o: JObject =>
         val (reqs, schs) = o.obj.partition { case (_, JArray(_)) => true; case _ => false }
         if (schs.isEmpty) DependentRequiredK(reqs.map { case (n, l) => n -> strings(l) }.toVector)
-        else if (reqs.isEmpty) DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s, base) }.toVector)
+        else if (reqs.isEmpty) DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s, base, d) }.toVector)
         else return Some(AllOfLike(
           DependentRequiredK(reqs.map { case (n, l) => n -> strings(l) }.toVector),
-          DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s, base) }.toVector)))
+          DependentSchemasK(schs.map { case (n, s) => n -> parseNode(s, base, d) }.toVector)))
       case other => throw new IllegalArgumentException(s"bad dependencies: $other")
     }
     case "minProperties" => MinPropertiesK(int(v))
     case "maxProperties" => MaxPropertiesK(int(v))
-    case "allOf" => AllOfK(schemas(v, base))
-    case "anyOf" => AnyOfK(schemas(v, base))
-    case "oneOf" => OneOfK(schemas(v, base))
-    case "not" => NotK(parseNode(v, base))
-    case "if" => IfK(parseNode(v, base))
-    case "then" => ThenK(parseNode(v, base))
-    case "else" => ElseK(parseNode(v, base))
+    case "allOf" => AllOfK(schemas(v, base, d))
+    case "anyOf" => AnyOfK(schemas(v, base, d))
+    case "oneOf" => OneOfK(schemas(v, base, d))
+    case "not" => NotK(parseNode(v, base, d))
+    case "if" => IfK(parseNode(v, base, d))
+    case "then" => ThenK(parseNode(v, base, d))
+    case "else" => ElseK(parseNode(v, base, d))
     case "$ref" => RefK(absolutizeRef(base, str(v)))
     case "$dynamicRef" => DynamicRefK(absolutizeRef(base, str(v)))
-    case "unevaluatedProperties" => UnevaluatedPropertiesK(parseNode(v, base))
-    case "unevaluatedItems" => UnevaluatedItemsK(parseNode(v, base))
+    case "unevaluatedProperties" => UnevaluatedPropertiesK(parseNode(v, base, d))
+    case "unevaluatedItems" => UnevaluatedItemsK(parseNode(v, base, d))
     // identifier / annotation keywords: always valid (keywords.go:20-75,337-412)
     case other => AnnotationK(other, v)
   })
+  }
 
   /** Helper for draft-7 `dependencies` carrying both forms. */
   private def AllOfLike(a: Keyword, b: Keyword): Keyword =

@@ -75,57 +75,146 @@ object RowValidator {
     ConstraintCompiler.compile(doc, col(valueCol), field.dataType, opts).valid
   }
 
-  /** Apply `default` values before validation (mirrors ApplyDefaults):
-    *  - per top-level property carrying a default: `coalesce(col, default)`
-    *    (validator.go:468-517; skipped for required fields like :468);
-    *  - per prefixItems element schema carrying a default: a ZERO element
-    *    (null / 0 / "" / false — Go's reflect.IsZero, validator.go:281-297)
-    *    at position i is replaced by prefixItems[i]'s default. */
+  /** Apply `default` values before validation (mirrors the reference's
+    * ApplyDefaults option): defaults apply at EVERY depth the validation
+    * recursion reaches, not just top-level properties —
+    *  - a property whose schema carries a default and is NOT in the enclosing
+    *    schema's `required` (validator.go:468) gets `coalesce(value, default)`
+    *    (absent-key map semantics, validator.go:479-495);
+    *  - defaults nested inside object-valued properties are applied by
+    *    rebuilding the struct, recursing the way ValidateProperties descends
+    *    (validator.go:451-517); a NULL object is left null — the reference
+    *    only sets fields of instances it actually descends into;
+    *  - arrays: a prefixItems element schema carrying a default replaces a
+    *    ZERO element (Go reflect.IsZero — null / 0 / "" / false,
+    *    validator.go:281-297) at that position, and an `items` schema with
+    *    nested defaults is applied to every element past the prefix.
+    * Limitation: defaults behind an unresolved `$ref` property are not
+    * applied (the compiler inlines refs lazily; this pre-validation rewrite
+    * sees the raw node). */
   def applyDefaults(df: DataFrame, doc: SchemaDoc): DataFrame = {
     import graft.model._
-    import org.apache.spark.sql.types._
     doc.root match {
       case ObjSchema(kws) =>
         val required: Set[String] =
           kws.collectFirst { case RequiredK(ns) => ns.toSet }.getOrElse(Set.empty)
         val props = kws.collectFirst { case PropertiesK(ps) => ps }.getOrElse(Vector.empty)
         props.foldLeft(df) { case (acc, (name, sub)) =>
-          sub match {
-            case ObjSchema(inner) if acc.columns.contains(name) =>
-              val fieldType = acc.schema(name).dataType
-              val afterScalar =
-                if (required(name)) acc
-                else inner.collectFirst { case DefaultK(v) => v }.flatMap(jvLit)
-                  .map(l => acc.withColumn(name, coalesce(col(name), l.cast(fieldType))))
-                  .getOrElse(acc)
-              fieldType match {
-                case at: ArrayType =>
-                  val defs = inner.collectFirst { case PrefixItemsK(ss) => ss }
-                    .map(_.zipWithIndex.flatMap {
-                      case (ObjSchema(ks), idx) =>
-                        ks.collectFirst { case DefaultK(v) => v }.flatMap(jvLit).map(idx -> _)
-                      case _ => None
-                    }).getOrElse(Vector.empty)
-                  if (defs.isEmpty) afterScalar
-                  else {
-                    val isZero = (x: Column) => at.elementType match {
-                      case _: NumericType => x.isNull || x === lit(0)
-                      case StringType     => x.isNull || x === lit("")
-                      case BooleanType    => x.isNull || !x
-                      case _              => x.isNull
-                    }
-                    afterScalar.withColumn(name, transform(col(name), (x, i) =>
-                      defs.foldLeft(x) { case (cur, (idx, d)) =>
-                        when(i === lit(idx) && isZero(x), d.cast(at.elementType))
-                          .otherwise(cur)
-                      }))
-                  }
-                case _ => afterScalar
-              }
-            case _ => acc
+          if (!acc.columns.contains(name)) acc
+          else {
+            val dt = acc.schema(name).dataType
+            if (!hasDefaultsDeep(sub, dt, required(name))) acc
+            else acc.withColumn(name, defaultedCol(sub, col(name), dt, required(name)))
           }
         }
       case _ => df
+    }
+  }
+
+  /** Does any default apply under `sub` for a value of type `dt`? Pure
+    * (schema, type) decision — used to avoid rebuilding untouched columns. */
+  private def hasDefaultsDeep(sub: graft.model.SchemaNode,
+                              dt: org.apache.spark.sql.types.DataType,
+                              requiredAtParent: Boolean): Boolean = {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    sub match {
+      case ObjSchema(kws) =>
+        val own = !requiredAtParent &&
+          kws.collectFirst { case DefaultK(v) => v }.flatMap(jvLit).isDefined
+        val nested = dt match {
+          case st: StructType =>
+            val req = kws.collectFirst { case RequiredK(ns) => ns.toSet }
+              .getOrElse(Set.empty[String])
+            val props = kws.collectFirst { case PropertiesK(ps) => ps }
+              .getOrElse(Vector.empty).toMap
+            st.fields.exists(f => props.get(f.name)
+              .exists(ps => hasDefaultsDeep(ps, f.dataType, req(f.name))))
+          case at: ArrayType =>
+            val prefix = kws.collectFirst { case PrefixItemsK(ss) => ss }
+              .exists(_.exists {
+                case ObjSchema(ks) =>
+                  ks.collectFirst { case DefaultK(v) => v }.flatMap(jvLit).isDefined
+                case _ => false
+              })
+            val items = kws.collectFirst { case ItemsK(s) => s }
+              .exists(s => hasDefaultsDeep(s, at.elementType, requiredAtParent = false))
+            prefix || items
+          case _ => false
+        }
+        own || nested
+      case _ => false
+    }
+  }
+
+  /** The defaulted form of `c` under schema `sub` (callers gate on
+    * hasDefaultsDeep). */
+  private def defaultedCol(sub: graft.model.SchemaNode, c: Column,
+                           dt: org.apache.spark.sql.types.DataType,
+                           requiredAtParent: Boolean): Column = {
+    import graft.model._
+    import org.apache.spark.sql.types._
+    sub match {
+      case ObjSchema(kws) =>
+        val base =
+          if (requiredAtParent) c
+          else kws.collectFirst { case DefaultK(v) => v }.flatMap(jvLit)
+            .map(l => coalesce(c, l.cast(dt))).getOrElse(c)
+        dt match {
+          case st: StructType =>
+            val req = kws.collectFirst { case RequiredK(ns) => ns.toSet }
+              .getOrElse(Set.empty[String])
+            val props = kws.collectFirst { case PropertiesK(ps) => ps }
+              .getOrElse(Vector.empty).toMap
+            val touched = st.fields.exists(f => props.get(f.name)
+              .exists(ps => hasDefaultsDeep(ps, f.dataType, req(f.name))))
+            if (!touched) base
+            else {
+              val fields = st.fields.toIndexedSeq.map { f =>
+                val raw = base.getField(f.name)
+                val withD = props.get(f.name) match {
+                  case Some(ps) if hasDefaultsDeep(ps, f.dataType, req(f.name)) =>
+                    defaultedCol(ps, raw, f.dataType, req(f.name))
+                  case _ => raw
+                }
+                withD.as(f.name)
+              }
+              when(base.isNotNull, struct(fields: _*)).otherwise(lit(null).cast(st))
+            }
+          case at: ArrayType =>
+            val prefixSchemas = kws.collectFirst { case PrefixItemsK(ss) => ss }
+              .getOrElse(Vector.empty)
+            val prefixDefs = prefixSchemas.zipWithIndex.flatMap {
+              case (ObjSchema(ks), idx) =>
+                ks.collectFirst { case DefaultK(v) => v }.flatMap(jvLit).map(idx -> _)
+              case _ => None
+            }
+            val itemsSchema = kws.collectFirst { case ItemsK(s) => s }
+              .filter(s => hasDefaultsDeep(s, at.elementType, requiredAtParent = false))
+            if (prefixDefs.isEmpty && itemsSchema.isEmpty) base
+            else {
+              val isZero = (x: Column) => at.elementType match {
+                case _: NumericType => x.isNull || x === lit(0)
+                case StringType     => x.isNull || x === lit("")
+                case BooleanType    => x.isNull || !x
+                case _              => x.isNull
+              }
+              transform(base, (x, i) => {
+                val afterPrefix = prefixDefs.foldLeft(x) { case (cur, (idx, d)) =>
+                  when(i === lit(idx) && isZero(x), d.cast(at.elementType)).otherwise(cur)
+                }
+                itemsSchema match {
+                  case Some(s) =>
+                    when(i >= lit(prefixSchemas.length),
+                      defaultedCol(s, afterPrefix, at.elementType, requiredAtParent = false))
+                      .otherwise(afterPrefix)
+                  case None => afterPrefix
+                }
+              })
+            }
+          case _ => base
+        }
+      case _ => c
     }
   }
 

@@ -1,0 +1,104 @@
+package graft
+
+import graft.compile.{CompileOpts, RegexDialect, RegexPolicy}
+import graft.model.SchemaParser
+import graft.row.RowValidator
+import org.scalatest.funsuite.AnyFunSuite
+
+/** RE2-dialect guard (SURVEY §7.4.3): patterns the reference's Go RE2 engine
+  * rejects (`regexp.Compile`, validator.go:1008) must be flagged here, not
+  * silently accepted into a Java-dialect divergence. */
+class RegexDialectScanSpec extends AnyFunSuite {
+  import RegexDialect.re2Incompatibilities
+
+  test("backreferences are flagged; escaped backslash-digit is not") {
+    assert(re2Incompatibilities("""(a)\1""").exists(_.contains("backreference")))
+    assert(re2Incompatibilities("""(a)\\1""").isEmpty) // literal backslash then '1'
+    assert(re2Incompatibilities("""\k<name>x""").exists(_.contains("named backreference")))
+  }
+
+  test("lookaround and atomic groups are flagged; named groups are not") {
+    assert(re2Incompatibilities("a(?=b)").exists(_.contains("lookahead")))
+    assert(re2Incompatibilities("a(?!b)").exists(_.contains("negative lookahead")))
+    assert(re2Incompatibilities("(?<=a)b").exists(_.contains("lookbehind")))
+    assert(re2Incompatibilities("(?<!a)b").exists(_.contains("lookbehind")))
+    assert(re2Incompatibilities("(?>ab)").exists(_.contains("atomic")))
+    assert(re2Incompatibilities("(?<name>ab)").isEmpty) // RE2-valid named group
+    assert(re2Incompatibilities("(?:ab)(?i)x").isEmpty) // non-capture + flags
+  }
+
+  test("possessive quantifiers are flagged; lazy and literal forms are not") {
+    assert(re2Incompatibilities("a*+").nonEmpty)
+    assert(re2Incompatibilities("a++").nonEmpty)
+    assert(re2Incompatibilities("a{2,3}+").nonEmpty)
+    assert(re2Incompatibilities("a+?b*?").isEmpty)  // lazy — RE2-valid
+    assert(re2Incompatibilities("a}+").isEmpty)     // literal '}' then quantifier
+    assert(re2Incompatibilities("[+]+x[*]*").isEmpty) // class literals
+    assert(re2Incompatibilities("""\+\+""").isEmpty)  // escaped plus signs
+  }
+
+  test("Java-only anchors \\Z and \\G are flagged; \\z \\A \\b are not") {
+    assert(re2Incompatibilities("""abc\Z""").nonEmpty)
+    assert(re2Incompatibilities("""\Gabc""").nonEmpty)
+    assert(re2Incompatibilities("""\Aabc\z\b""").isEmpty)
+  }
+
+  test("constructs inside character classes do not false-positive") {
+    assert(re2Incompatibilities("[(?=]a").isEmpty)
+    assert(re2Incompatibilities("[]]?").isEmpty)  // leading ] is a literal
+    assert(re2Incompatibilities("[^]]*").isEmpty)
+  }
+
+  test("typical real-world RE2 patterns pass clean") {
+    for (p <- Seq("^[0-9]+$", "^(red|green|blue)$", """^\d{3}-\d{4}$""",
+                  """^\p{L}[\p{L}\p{N}_-]{0,63}$""", "b.t", "^a", "https?://[^ ]+"))
+      assert(re2Incompatibilities(p).isEmpty, p)
+  }
+}
+
+/** Compile-time policy: Re2Strict (default) rejects, JavaSuperset accepts. */
+class RegexDialectCompileSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val backrefSchema =
+    """{"properties": {"s": {"type": "string", "pattern": "(a)\\1"}}}"""
+
+  test("a backreference pattern is rejected at compile (Go regexp.Compile parity)") {
+    val df = Seq(("x", "aa")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      RowValidator.violations(df, SchemaParser.parse(backrefSchema), "id").collect()
+    }
+    assert(e.getMessage.contains("backreference"))
+    assert(e.getMessage.contains("RE2"))
+  }
+
+  test("JavaSuperset policy opts into the Java dialect explicitly") {
+    val df = Seq(("x", "aa"), ("y", "ab")).toDF("id", "s")
+    val opts = CompileOpts(regexPolicy = RegexPolicy.JavaSuperset)
+    val bad = RowValidator.violations(df, SchemaParser.parse(backrefSchema), "id", opts)
+      .select("id").as[String].collect().toSet
+    assert(bad === Set("y")) // "ab" fails (a)\1; "aa" matches
+  }
+
+  test("patternProperties patterns go through the same gate") {
+    val schema =
+      """{"patternProperties": {"^x(?=y)": {"type": "string"}}}"""
+    val df = spark.sql("SELECT map('xy', 'v') AS m")
+      .select(col("m").as("value"))
+    val e = intercept[IllegalArgumentException] {
+      graft.compile.ConstraintCompiler.compile(
+        SchemaParser.parse(schema), col("value"), df.schema("value").dataType,
+        CompileOpts()).valid
+      df.count()
+    }
+    assert(e.getMessage.contains("lookahead"))
+  }
+
+  test("format:regex rejects RE2-incompatible instance strings like Go") {
+    val schema = """{"type": "string", "format": "regex"}"""
+    val df = Seq("^[a-z]+$", "(a)\\1", "a(?=b)", "((broken").toDF("value")
+    val ok = df.filter(RowValidator.validColumn(df, schema)).as[String].collect().toSet
+    assert(ok === Set("^[a-z]+$"))
+  }
+}
