@@ -21,12 +21,27 @@ import org.json4s.jackson.JsonMethods
 class ConformanceSpec extends SparkSpec {
 
   test("conformance corpus") {
-    val groups = Seq("/conformance/cases.json", "/conformance/cases2.json").flatMap { f =>
-      val text = scala.io.Source.fromInputStream(
-        getClass.getResourceAsStream(f), "UTF-8").mkString
-      val JArray(gs) = JsonMethods.parse(text): @unchecked
+    def read(f: String) = JsonMethods.parse(scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream(f), "UTF-8").mkString)
+
+    val flat = Seq("/conformance/cases.json", "/conformance/cases2.json").flatMap { f =>
+      val JArray(gs) = read(f): @unchecked
       gs
     }
+    // cases3.json carries {"remotes": {uri -> schema}, "groups": [...]}: the
+    // remotes are served through a SchemaLoader.addLoader hook — the
+    // `remotes/` directory of the official suite, reaching the SetLoader
+    // analogue (testgen downloads that suite; no network here, so the
+    // documents are vendored in the corpus file itself)
+    val v3 = read("/conformance/cases3.json")
+    val remoteDocs: Map[String, String] = (v3 \ "remotes") match {
+      case JObject(fields) =>
+        fields.map { case (uri, s) => uri -> JsonMethods.compact(JsonMethods.render(s)) }.toMap
+      case _ => Map.empty
+    }
+    graft.model.SchemaLoader.addLoader(uri => remoteDocs.get(uri))
+    val JArray(g3) = (v3 \ "groups"): @unchecked
+    val groups = flat ++ g3
 
     val failures = scala.collection.mutable.Buffer[String]()
     var total = 0
