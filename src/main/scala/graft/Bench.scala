@@ -97,6 +97,12 @@ object Bench {
 
     // ---- phase 1: oracle-checked queries at full parallelism ----
     var spark = session(cpus)
+    // one-time session bootstrap (BlockManager, first parquet footer read,
+    // Janino/JIT init) is NOT any query's cost: without this warmup the
+    // map-order-first query absorbed ~5-7 s of it (q_row_violations recorded
+    // 8.1 s at sf0.1 AND 8.3 s at sf0.01 — size-independent, i.e. bootstrap)
+    spark.range(1000).select(sum(col("id"))).collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -152,13 +158,15 @@ object Bench {
       val rs = pairs.map(p => (p._2 / p._1) / 4.0).sorted
       rs(rs.size / 2)
     }
-    // two estimators with opposite failure modes under host contention:
-    // best-of-level is wrong only if one level NEVER saw a clean window;
-    // median-pairwise is wrong only if MOST pairs had one contended half.
-    // Take the stronger evidence, capped at 1.0 — superlinear scaling on a
-    // shared-memory box is physically implausible and can only mean the
-    // N-side measurement was contention-suppressed (raws are in `passes`).
-    def efficiency = math.min(1.0, math.max(bestOfLevel, medianPairwise))
+    // HEADLINE = median of the per-pair ratios, capped at 1.0 (superlinear
+    // scaling on a shared-memory box can only mean the N-side half of a pair
+    // was contention-suppressed). A contended pair stays in the median when
+    // more pairs are added, so the retry loop below only lifts the headline
+    // if the MAJORITY of evidence is clean — it cannot cherry-pick one lucky
+    // pass. best-of-level (cleanest window per level) is emitted as a
+    // secondary contention diagnostic only, never as the gate value; every
+    // raw pass is in `passes`.
+    def efficiency = math.min(1.0, medianPairwise)
     while (efficiency < 0.8 && pairIdx < maxPairs) runPair()
 
     val tputN = pairs.map(_._1).max

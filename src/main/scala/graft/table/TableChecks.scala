@@ -113,7 +113,8 @@ object TableChecks {
     * table by a triangular self-join. No global single-partition window
     * anywhere, so a continuous column at 100× scale still parallelizes. */
   def ksStatistic(current: DataFrame, baseline: DataFrame, column: String,
-                  rangeParts: Int = 64): DataFrame = {
+                  rangeParts: Int = 64, driverDomainMax: Int = 65536): DataFrame = {
+    val spark = current.sparkSession
     val a = current.groupBy(col(column).cast(DoubleType).as("v"))
       .agg(count(lit(1)).as("ca")).withColumn("cb", lit(0L))
     val b = baseline.groupBy(col(column).cast(DoubleType).as("v"))
@@ -123,35 +124,74 @@ object TableChecks {
       // null values carry no position in a value ordering — excluded from
       // both empirical CDFs
       .filter(col("v").isNotNull)
-    // deterministic domain bucketing: approximate quantile BOUNDARIES are
-    // computed once (a driver-side action over the domain-sized counts
-    // table) and baked into a pure bucket-id expression. spark_partition_id
-    // after repartitionByRange would only be consistent across the two
-    // consumers below if both resolved to ONE reused range exchange — an
-    // optimizer property, not a guarantee.
-    val qs = (1 until rangeParts).map(_.toDouble / rangeParts).toArray
-    val bounds = merged.stat.approxQuantile("v", qs, 0.001).distinct.sorted
-    val pid = bounds.foldLeft(lit(0))((acc, bd) => acc + (col("v") > lit(bd)).cast("int"))
-    val binned = merged.withColumn("pid", pid)
-    val wLocal = Window.partitionBy("pid").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val local = binned.select(col("v"), col("pid"),
-      sum("ca").over(wLocal).as("la"), sum("cb").over(wLocal).as("lb"))
-    val tot = binned.groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
-    // exclusive prefix offsets over the ≤P-row totals: triangular self-join
-    // (P² ≤ 4096 rows) instead of a global window — keeps the plan free of
-    // single-partition stages even in its metadata step.
-    val off = tot.as("x").join(tot.as("y"), col("y.pid") < col("x.pid"), "left")
-      .groupBy(col("x.pid").as("pid"))
-      .agg(coalesce(sum(col("y.ta")), lit(0L)).as("oa"),
-           coalesce(sum(col("y.tb")), lit(0L)).as("ob"))
-    val grand = tot.agg(sum("ta").as("na"), sum("tb").as("nb"))
-    local.join(broadcast(off), Seq("pid"))
-      .crossJoin(broadcast(grand))
-      .agg(max(abs(
-        (col("la") + col("oa")).cast(DoubleType) / col("na").cast(DoubleType) -
-        (col("lb") + col("ob")).cast(DoubleType) / col("nb").cast(DoubleType)))
-        .as("ks_stat"))
+    // The statistic needs TWO consumers of the domain-sized counts table:
+    // quantile BOUNDARIES (a driver action) and the prefix-sum job itself.
+    // Persist it so both read one materialization — without the cache the
+    // raw inputs were scanned and aggregated twice (measured ~2× at sf0.1).
+    // The table is |distinct values| rows, spill-safe, and unpersisted
+    // before returning; the evaluation is eager (the result is one scalar).
+    merged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // adaptive: the DOMAIN size, not the input size, decides the path. A
+      // discrete column (source, lang, token counts) has a bounded domain
+      // even at 10^12 rows — for |domain| ≤ driverDomainMax (≤ ~1.5 MB of
+      // (v, ca, cb) triples) the exact CDF walk runs on the driver in one
+      // collect, skipping the quantile action, the windows, and the joins
+      // whose plan compilation alone cost multiple seconds per call. The
+      // distributed two-phase prefix sum below remains the path for
+      // genuinely continuous domains (it parallelizes; this doesn't).
+      val domainSize = merged.count()
+      if (domainSize <= driverDomainMax) {
+        val rows = merged.collect().sortBy(_.getDouble(0))
+        var na = 0L; var nb = 0L
+        rows.foreach { r => na += r.getLong(1); nb += r.getLong(2) }
+        var cum_a = 0L; var cum_b = 0L; var best = 0.0
+        rows.foreach { r =>
+          cum_a += r.getLong(1); cum_b += r.getLong(2)
+          if (na > 0 && nb > 0) {
+            val d = math.abs(cum_a.toDouble / na - cum_b.toDouble / nb)
+            if (d > best) best = d
+          }
+        }
+        val stat: Any = if (na == 0 || nb == 0 || rows.isEmpty) null else best
+        return spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(stat)),
+          StructType(Seq(StructField("ks_stat", DoubleType, nullable = true))))
+      }
+      // deterministic domain bucketing: the boundaries are baked into a pure
+      // bucket-id expression. spark_partition_id after repartitionByRange
+      // would only be consistent across the two consumers below if both
+      // resolved to ONE reused range exchange — an optimizer property, not a
+      // guarantee.
+      val qs = (1 until rangeParts).map(_.toDouble / rangeParts).toArray
+      val bounds = merged.stat.approxQuantile("v", qs, 0.001).distinct.sorted
+      val pid = bounds.foldLeft(lit(0))((acc, bd) => acc + (col("v") > lit(bd)).cast("int"))
+      val binned = merged.withColumn("pid", pid)
+      val wLocal = Window.partitionBy("pid").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val local = binned.select(col("v"), col("pid"),
+        sum("ca").over(wLocal).as("la"), sum("cb").over(wLocal).as("lb"))
+      val tot = binned.groupBy("pid").agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      // exclusive prefix offsets over the ≤P-row totals: triangular self-join
+      // (P² ≤ 4096 rows) instead of a global window — keeps the plan free of
+      // single-partition stages even in its metadata step.
+      val off = tot.as("x").join(tot.as("y"), col("y.pid") < col("x.pid"), "left")
+        .groupBy(col("x.pid").as("pid"))
+        .agg(coalesce(sum(col("y.ta")), lit(0L)).as("oa"),
+             coalesce(sum(col("y.tb")), lit(0L)).as("ob"))
+      val grand = tot.agg(sum("ta").as("na"), sum("tb").as("nb"))
+      val r = local.join(broadcast(off), Seq("pid"))
+        .crossJoin(broadcast(grand))
+        .agg(max(abs(
+          (col("la") + col("oa")).cast(DoubleType) / col("na").cast(DoubleType) -
+          (col("lb") + col("ob")).cast(DoubleType) / col("nb").cast(DoubleType)))
+          .as("ks_stat"))
+        .collect()(0)
+      val stat: Any = if (r.isNullAt(0)) null else r.getDouble(0)
+      spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(stat)),
+        StructType(Seq(StructField("ks_stat", DoubleType, nullable = true))))
+    } finally merged.unpersist(blocking = false)
   }
 
   /** KS as a scalar plus the asymptotic two-sample p-value
@@ -170,9 +210,36 @@ object TableChecks {
     * expectations: Σ (o - e)² / e with e scaled to the current total.
     * Categories absent from the baseline contribute with a 0.5 pseudo-count
     * to stay finite. Both sides reduce to |domain| rows before the join. */
-  def chiSquaredStatistic(current: DataFrame, baseline: DataFrame, column: String): DataFrame = {
+  def chiSquaredStatistic(current: DataFrame, baseline: DataFrame, column: String,
+                          driverDomainMax: Int = 65536): DataFrame = {
+    val spark = current.sparkSession
     val o = current.groupBy(col(column).as("k")).agg(count(lit(1)).as("o"))
     val e = baseline.groupBy(col(column).as("k")).agg(count(lit(1)).as("eRaw"))
+    // adaptive like ksStatistic: categories are domain-bounded, so when both
+    // count tables fit the driver budget the statistic finishes locally in
+    // two collects (vs two extra total-sum jobs + a join whose plans each
+    // pay compile time). The distributed join remains for huge domains.
+    val oRows = o.limit(driverDomainMax + 1).collect()
+    if (oRows.length <= driverDomainMax) {
+      val eRows = e.limit(driverDomainMax + 1).collect()
+      if (eRows.length <= driverDomainMax) {
+        val oMap = oRows.map(r => r.get(0) -> r.getLong(1)).toMap
+        val eMap = eRows.map(r => r.get(0) -> r.getLong(1)).toMap
+        val totals = oMap.values.sum.toDouble
+        val totalE = eMap.values.sum.toDouble
+        // deterministic summation order — run-to-run bit stability
+        val keys = (oMap.keySet ++ eMap.keySet).toSeq.sortBy(String.valueOf(_))
+        val stat = keys.map { k =>
+          val ov = oMap.getOrElse(k, 0L).toDouble
+          val ev = eMap.get(k).map(_.toDouble).getOrElse(0.5) * (totals / totalE)
+          (ov - ev) * (ov - ev) / ev
+        }.sum
+        return spark.createDataFrame(
+          java.util.Arrays.asList(org.apache.spark.sql.Row(stat, keys.size.toLong)),
+          StructType(Seq(StructField("chi2_stat", DoubleType, nullable = false),
+            StructField("n_categories", LongType, nullable = false))))
+      }
+    }
     val totals = o.agg(sum("o")).collect()(0).getLong(0).toDouble
     val totalE = e.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
     o.join(e, Seq("k"), "full_outer")

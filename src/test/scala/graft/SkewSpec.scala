@@ -120,11 +120,17 @@ class KsPrefixSumSpec extends SparkSpec {
            Seq.fill(300)(100.0 + rnd.nextInt(100)))
         else
           (Seq.fill(400)(rnd.nextGaussian() * 10), Seq.fill(500)(rnd.nextGaussian() * 12 + trial))
+      // force the DISTRIBUTED two-phase prefix-sum path (driverDomainMax=0)
       val got = TableChecks.ksStatistic(
-        xs.toDF("v"), ys.toDF("v"), "v", rangeParts = 8)
+        xs.toDF("v"), ys.toDF("v"), "v", rangeParts = 8, driverDomainMax = 0)
         .collect()(0).getDouble(0)
       val want = referenceKs(xs, ys)
       assert(math.abs(got - want) < 1e-12, s"trial $trial: got $got want $want")
+      // the driver-side small-domain path must agree exactly
+      val gotDriver = TableChecks.ksStatistic(
+        xs.toDF("v"), ys.toDF("v"), "v", rangeParts = 8)
+        .collect()(0).getDouble(0)
+      assert(math.abs(gotDriver - want) < 1e-12, s"trial $trial driver path: $gotDriver")
     }
   }
 }
