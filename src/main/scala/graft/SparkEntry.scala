@@ -2,7 +2,7 @@ package graft
 
 import graft.model.SchemaParser
 import graft.row.RowValidator
-import graft.table.{Dedup, Similarity, TableChecks, TextAnalysis}
+import graft.table.{Dedup, Sampling, Similarity, TableChecks, TextAnalysis}
 import graft.tokens.TokenSeqs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -159,6 +159,24 @@ object SparkEntry {
         .select(round(col("chi2_stat"), 6).as("chi2_stat"), col("n_categories"))
     }),
 
+    // ---- drift: PSI + Jensen-Shannon divergence of source frequencies ----
+    "q_psi_source" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TableChecks.psiDrift(docs.filter(col("lang") === "en"), docs, "source")
+        .select(round(col("psi"), 6).as("psi"), round(col("jsd"), 6).as("jsd"),
+          col("n_categories"))
+    }),
+
+    // ---- decontamination: corpus docs sharing >= 3 distinct 3-gram shingles
+    //      with a benchmark split (doc_id % 97 == 0 plays the eval set) ----
+    "q_decontaminate" -> ((s, dir) => {
+      val ts = tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
+      graft.table.Decontamination.contaminated(
+        ts.filter(col("doc_id") % 97 =!= 0), ts.filter(col("doc_id") % 97 === 0),
+        "doc_id", "tokens", minHits = 3)
+        .select(col("id").as("doc_id"), col("n_hits"))
+    }),
+
     // ---- row-level constraint validation over derived token_sequences ----
     "q_row_violations" -> ((s, dir) =>
       RowValidator.violations(tokenSeqs(s, dir), SchemaParser.parse(docSchemaJson), "doc_id")
@@ -190,6 +208,23 @@ object SparkEntry {
     "q_dedup_keep_count" -> ((s, dir) =>
       Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("cnt"))),
+
+    // ---- dedup: pair-graph clustering (connected components) — collapses
+    //      transitive near-dup chains (A~B, B~C ⇒ {A,B,C}) into one group.
+    //      The edge relation is deterministic over doc_id (chains broken at
+    //      multiples of 5, long-range merges at multiples of 11) so the
+    //      DuckDB recursive-CTE oracle reproduces it exactly ----
+    "q_dup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e1 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val e2 = docs.filter(col("doc_id") % 11 === 0 && col("doc_id") >= 7)
+        .select(col("doc_id").as("a"), (col("doc_id") - 7).as("b"))
+      val cc = graft.table.Components.connectedComponents(e1.union(e2), "a", "b")
+      docs.join(cc, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    }),
 
     // ---- dedup: n-gram (3-shingle) Jaccard pairs ----
     "q_jaccard_pairs" -> ((s, dir) =>
@@ -267,6 +302,29 @@ object SparkEntry {
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpe_est_tokens"))),
+
+    // ---- text analysis: within-document repetition (duplicate-bigram
+    //      fraction — the Gopher repetition quality filter) ----
+    "q_ngram_repeat" -> ((s, dir) =>
+      tokenSeqs(s, dir).select(col("doc_id"),
+        round(TextAnalysis.dupBigramFraction(col("tokens")), 6).as("dup_frac"))),
+
+    // ---- text analysis: canonical normalization (NFC + lower + ws-collapse) ----
+    "q_normalize" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.normalize(col("text")).as("norm"))),
+
+    // ---- sampling: deterministic hash-keyed stratified sample (data-mixing
+    //      weights per language; reproducible across engines and runs) ----
+    "q_strat_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+        Map("en" -> 0.2), default = 0.5)
+        .select(col("doc_id"), col("lang"))),
+
+    // ---- sampling: exact-k-per-stratum deterministic reservoir ----
+    "q_sample_k" -> ((s, dir) =>
+      Sampling.exactKPerStratum(t(s, dir, "documents"), "lang", "doc_id", k = 5)
+        .select(col("doc_id"), col("lang"))),
 
     // ---- multimodal plumbing: opaque binary payload + metadata extraction
     //      (graft.table.Multimodal; codecs stubbed, schema/batching real) ----
@@ -428,6 +486,27 @@ object SparkEntry {
                  FROM o FULL OUTER JOIN e ON o.k = e.k)
            SELECT round(sum((o - e)*(o - e)/e), 6) AS chi2_stat, count(*) AS n_categories FROM j""",
 
+      "q_psi_source" ->
+        """WITH o AS (SELECT source k, count(*) o FROM documents WHERE lang='en' GROUP BY 1),
+           b AS (SELECT source k, count(*) b FROM documents GROUP BY 1),
+           t AS (SELECT (SELECT sum(o) FROM o)::DOUBLE tot_o, (SELECT sum(b) FROM b)::DOUBLE tot_b),
+           j AS (SELECT greatest(coalesce(o.o, 0)::DOUBLE / (SELECT tot_o FROM t), 1e-6) p,
+                        greatest(coalesce(b.b, 0)::DOUBLE / (SELECT tot_b FROM t), 1e-6) q
+                 FROM o FULL OUTER JOIN b ON o.k = b.k)
+           SELECT round(sum((p - q)*ln(p/q)), 6) AS psi,
+                  round(0.5*sum(p*ln(2*p/(p+q))) + 0.5*sum(q*ln(2*q/(p+q))), 6) AS jsd,
+                  count(*) AS n_categories FROM j""",
+
+      "q_decontaminate" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+           bsh AS (SELECT DISTINCT unnest(list_distinct($shSql)) s FROM ts
+                   WHERE id % 97 = 0 AND len(toks) >= 3),
+           csh AS (SELECT id, unnest(list_distinct($shSql)) s FROM ts
+                   WHERE id % 97 <> 0 AND len(toks) >= 3)
+           SELECT id AS doc_id, count(*) AS n_hits
+           FROM csh JOIN bsh USING (s)
+           GROUP BY 1 HAVING count(*) >= 3""",
+
       "q_row_violations" ->
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
              len(string_split(text,' ')) n_tok, source FROM documents)
@@ -469,6 +548,23 @@ object SparkEntry {
 
       "q_dedup_keep_count" ->
         "SELECT count(*) AS cnt FROM (SELECT min(doc_id) FROM documents GROUP BY text)",
+
+      "q_dup_clusters" ->
+        """WITH RECURSIVE
+           edges AS (
+             SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+             WHERE doc_id % 5 <> 0 AND doc_id > 0
+             UNION ALL
+             SELECT doc_id AS a, doc_id - 7 AS b FROM documents
+             WHERE doc_id % 11 = 0 AND doc_id >= 7),
+           sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+           reach(node, label) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.node),
+           cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+           SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS component
+           FROM documents d LEFT JOIN cc ON cc.node = d.doc_id""",
 
       "q_jaccard_pairs" ->
         // `ok` mirrors Spark's maxDocFreq=1000 hot-shingle cap so the oracle
@@ -641,6 +737,31 @@ object SparkEntry {
         """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
            ceil(length(text)::DOUBLE / 4.0)::BIGINT AS bpe_est_tokens
            FROM documents""",
+
+      "q_ngram_repeat" ->
+        s"""WITH ts AS (SELECT doc_id, $tokSql toks FROM documents),
+           g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 0)+1),
+                   i -> toks[i]::BIGINT*4096 + toks[i+1]::BIGINT) grams FROM ts)
+           SELECT doc_id, round(CASE WHEN len(grams) = 0 THEN 0.0
+             ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) END, 6) AS dup_frac
+           FROM g""",
+
+      "q_normalize" ->
+        """SELECT doc_id,
+           nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm
+           FROM documents""",
+
+      "q_strat_sample" ->
+        """SELECT doc_id, lang FROM documents
+           WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 <
+                 CASE WHEN lang = 'en' THEN 200000 ELSE 500000 END""",
+
+      "q_sample_k" ->
+        """SELECT doc_id, lang FROM (
+             SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000,
+                        doc_id) AS rk
+             FROM documents) WHERE rk <= 5""",
 
       "q_multimodal_meta" ->
         """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,

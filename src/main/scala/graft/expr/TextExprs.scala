@@ -95,6 +95,39 @@ object TextUtil {
     while (i < parts.length) { if (parts(i).nonEmpty) n += 1; i += 1 }
     n
   }
+
+  /** Fraction of bigram occurrences that are repeats: 1 − distinct/total over
+    * g_i = t_i·4096 + t_{i+1} (0.0 for < 2 tokens). Grams with a null
+    * endpoint are skipped (canonical token arrays are non-null). */
+  def dupBigramFraction(tokens: ArrayData): Double = {
+    val n = tokens.numElements()
+    if (n < 2) return 0.0
+    val seen = new java.util.HashSet[Long]()
+    var total = 0
+    var i = 0
+    while (i < n - 1) {
+      if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1)) {
+        seen.add(tokens.getInt(i).toLong * 4096L + tokens.getInt(i + 1).toLong)
+        total += 1
+      }
+      i += 1
+    }
+    if (total == 0) 0.0 else 1.0 - seen.size.toDouble / total
+  }
+
+  /** Unicode NFC normalization (java.text.Normalizer). Spark has no built-in
+    * normalizer function; DuckDB's is `nfc_normalize`. */
+  def nfcNormalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    // fast path: pure-ASCII strings are NFC by definition — skip the
+    // Normalizer machinery (the overwhelmingly common case in web corpora)
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (ascii) text
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
 }
 
 /** `bigint` row id → `array<int>` synthetic token array (codegen'd) — the
@@ -180,6 +213,32 @@ case class NonEmptySplitCount(child: Expression, regex: String) extends UnaryExp
     copy(child = c)
 }
 
+/** `array<int>` → `double` duplicate-bigram fraction (codegen'd) — the
+  * Gopher-style within-document repetition signal (fraction of duplicate
+  * word n-grams; Rae et al. 2021 use it as a quality filter). */
+case class DupBigramFraction(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.dupBigramFraction(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.dupBigramFraction($c)")
+  override protected def withNewChildInternal(c: Expression): DupBigramFraction =
+    copy(child = c)
+}
+
+/** `string` → `string` Unicode NFC normalization (codegen'd). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.nfcNormalize(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.nfcNormalize($c)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 object TextExprs {
   def asciiTokens(text: Column): Column =
     GraftSql.toColumn(AsciiTokens(GraftSql.toExpression(text)))
@@ -191,4 +250,8 @@ object TextExprs {
     GraftSql.toColumn(NonEmptySplitCount(GraftSql.toExpression(text), regex))
   def synthTokens(id: Column, seed: Long, vocab: Int): Column =
     GraftSql.toColumn(SynthTokens(GraftSql.toExpression(id.cast("long")), seed, vocab))
+  def dupBigramFraction(tokens: Column): Column =
+    GraftSql.toColumn(DupBigramFraction(GraftSql.toExpression(tokens.cast("array<int>"))))
+  def nfcNormalize(text: Column): Column =
+    GraftSql.toColumn(NfcNormalize(GraftSql.toExpression(text)))
 }

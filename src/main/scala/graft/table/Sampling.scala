@@ -1,0 +1,50 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for data-mixing pipelines. Unlike
+  * `df.sample` (partition-order-dependent RNG), these key every keep/drop
+  * decision on a content hash, so a sample is (a) reproducible run-to-run
+  * and across engines — the DuckDB oracle takes the identical rows — and
+  * (b) stable under repartitioning, speculative re-execution, and input
+  * reordering, which is what a 1000-executor retry-heavy run actually needs.
+  * md5 (not xxhash64) because both engines implement it identically.
+  *
+  * All decisions are per-row projections/filters — no shuffle at all for the
+  * fractional forms; one per-stratum shuffle for the exact-k form. */
+object Sampling {
+
+  /** Uniform [0, 1e6) bucket from the md5 of `key` (first 8 hex digits). */
+  def hashBucket(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long") % 1000000L
+
+  /** Keep ~`fraction` of rows, decided by the key hash. */
+  def deterministicSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < (fraction * 1e6).toLong)
+
+  /** Per-stratum fractions (data-mixing weights): strata not in `fractions`
+    * use `default`. A plain codegen'd filter — nothing shuffles. */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: String,
+                       fractions: Map[String, Double],
+                       default: Double = 0.0): DataFrame = {
+    val threshold = fractions.foldLeft(lit((default * 1e6).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * 1e6).toLong)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+
+  /** EXACTLY `k` rows per stratum (fewer when the stratum is smaller):
+    * uniform without replacement by ranking on the key hash — a
+    * deterministic reservoir. One shuffle on the stratum key; at web scale
+    * the per-stratum sort is the standard top-k window (rank ties broken by
+    * the key itself so the result is total-ordered and engine-portable). */
+  def exactKPerStratum(df: DataFrame, strataCol: String, keyCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(keyCol)), col(keyCol))
+    df.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+  }
+}

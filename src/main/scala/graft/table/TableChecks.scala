@@ -257,6 +257,37 @@ object TableChecks {
     val dof = math.max(1L, row.getLong(1) - 1)
     (stat, dof, GammaMath.regularizedGammaQ(dof / 2.0, stat / 2.0))
   }
+
+  /** Population Stability Index + Jensen–Shannon divergence of a categorical
+    * column vs a baseline snapshot — the standard production data-drift
+    * metrics alongside KS/chi² (PSI > 0.25 conventionally = "major shift").
+    * Frequencies are floor-smoothed at `eps` (the standard zero-bin guard,
+    * keeping both metrics finite when a category exists on one side only):
+    *   psi = Σ (p−q)·ln(p/q)
+    *   jsd = ½Σ p·ln(2p/(p+m)) + ½Σ q·ln(2q/(p+m))   with m=(p+q)/2… folded
+    * as ½Σ[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] (natural log; jsd ∈ [0, ln 2]).
+    *
+    * Scale shape: both sides aggregate to |domain| rows with map-side combine
+    * before the full-outer join; raw rows never shuffle. The whole statistic
+    * is a closed-form column expression — engine-portable, so the DuckDB
+    * oracle reproduces it (unlike the adaptive driver finish in
+    * [[chiSquaredStatistic]], summation here is a tiny |domain|-row agg whose
+    * order-sensitivity is below the 6dp compare tolerance). */
+  def psiDrift(current: DataFrame, baseline: DataFrame, column: String,
+               eps: Double = 1e-6): DataFrame = {
+    val o = current.groupBy(col(column).as("k")).agg(count(lit(1)).as("o"))
+    val b = baseline.groupBy(col(column).as("k")).agg(count(lit(1)).as("b"))
+    val totO = o.agg(sum("o")).collect()(0).getLong(0).toDouble
+    val totB = b.agg(sum("b")).collect()(0).getLong(0).toDouble
+    val p = greatest(coalesce(col("o"), lit(0L)).cast(DoubleType) / lit(totO), lit(eps))
+    val q = greatest(coalesce(col("b"), lit(0L)).cast(DoubleType) / lit(totB), lit(eps))
+    o.join(b, Seq("k"), "full_outer")
+      .select(p.as("p"), q.as("q"))
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        (sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))) * 0.5 +
+          sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) * 0.5).as("jsd"),
+        count(lit(1)).as("n_categories"))
+  }
 }
 
 /** Regularized incomplete gamma Q(a,x) for chi-squared p-values — driver-side

@@ -74,4 +74,18 @@ object TextAnalysis {
     * Native codegen'd expression (graft.expr.RollingFingerprint). */
   def fingerprint(tokens: Column): Column =
     graft.expr.TextExprs.fingerprint(tokens)
+
+  /** Within-document repetition: fraction of duplicate token bigrams
+    * (1 − distinct/total) — the Gopher-repetition quality filter (Rae et al.
+    * 2021 §A1.1 use duplicate n-gram fraction thresholds). Native codegen'd
+    * expression; one pass, no gram array materialized. */
+  def dupBigramFraction(tokens: Column): Column =
+    graft.expr.TextExprs.dupBigramFraction(tokens)
+
+  /** Canonical text normalization for training corpora: whitespace collapse,
+    * trim, lowercase, Unicode NFC. Stays inside whole-stage codegen (NFC is
+    * a native expression; the rest are built-ins). */
+  def normalize(textCol: Column): Column =
+    graft.expr.TextExprs.nfcNormalize(
+      lower(trim(regexp_replace(textCol, "\\s+", " "))))
 }

@@ -1,0 +1,71 @@
+package graft
+
+import graft.table.{Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (0L until 1000L).map(i => (i, s"lang${i % 4}"))
+    .toDF("id", "lang")
+
+  test("deterministic sample: stable under repartitioning and re-runs") {
+    val a = Sampling.deterministicSample(docs, "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.deterministicSample(docs.repartition(7), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+    // md5-uniformity: within a loose band of the target fraction
+    assert(a.size > 230 && a.size < 370, s"got ${a.size}")
+  }
+
+  test("stratified sample applies per-stratum fractions") {
+    val kept = Sampling.stratifiedSample(docs, "lang", "id",
+      Map("lang0" -> 0.1, "lang1" -> 0.9), default = 0.5)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("lang0") < kept.getOrElse("lang2", 0L))
+    assert(kept.getOrElse("lang2", 0L) < kept("lang1"))
+    // fraction 0.0 default drops a stratum entirely
+    val none = Sampling.stratifiedSample(docs, "lang", "id", Map("lang3" -> 1.0))
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(none.keySet == Set("lang3") && none("lang3") == 250L)
+  }
+
+  test("exactKPerStratum yields exactly k rows per stratum, deterministically") {
+    val s1 = Sampling.exactKPerStratum(docs, "lang", "id", 7)
+      .select("id").as[Long].collect().toSet
+    val s2 = Sampling.exactKPerStratum(docs.repartition(13), "lang", "id", 7)
+      .select("id").as[Long].collect().toSet
+    assert(s1 == s2 && s1.size == 28)
+    // stratum smaller than k: all rows kept
+    val tiny = Sampling.exactKPerStratum(docs.filter(col("id") < 3), "lang", "id", 7)
+    assert(tiny.count() == 3)
+  }
+
+  test("dupBigramFraction matches a scalar reference") {
+    def ref(ts: Seq[Int]): Double = {
+      val grams = ts.sliding(2).filter(_.size == 2)
+        .map(p => p.head.toLong * 4096L + p(1)).toSeq
+      if (grams.isEmpty) 0.0 else 1.0 - grams.distinct.size.toDouble / grams.size
+    }
+    val cases = Seq(Seq(1, 2, 3, 1, 2), Seq(5, 5, 5, 5), Seq(9), Seq.empty[Int],
+      Seq(1, 2, 1, 2, 1, 2))
+    val got = cases.zipWithIndex.map(_.swap).toDF("i", "tokens")
+      .select($"i", TextAnalysis.dupBigramFraction($"tokens").as("f"))
+      .as[(Int, Double)].collect().toMap
+    cases.zipWithIndex.foreach { case (ts, i) =>
+      assert(math.abs(got(i) - ref(ts)) < 1e-12, s"case $i")
+    }
+  }
+
+  test("normalize: NFC composition, lowercase, whitespace collapse") {
+    val df = Seq(
+      "  Hello   World  ",
+      "Café du   Monde",        // decomposed é → composed
+      "ALL\tCAPS\n\nTEXT").toDF("text")
+    val got = df.select(TextAnalysis.normalize($"text")).as[String].collect()
+    assert(got(0) == "hello world")
+    assert(got(1) == "café du monde" && got(1).length == 13)
+    assert(got(2) == "all caps text")
+  }
+}
