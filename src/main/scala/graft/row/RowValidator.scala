@@ -65,6 +65,42 @@ object RowValidator {
         col("v.message").as("message"), col("partition_id")): _*)
   }
 
+  /** Validity predicate alone — the codegen'd hot-path filter of the
+    * two-phase shape, for fused scans ([[graft.run.ValidationPipeline]]) that
+    * defer violation construction to [[violationsFromPayload]]. */
+  def validity(df: DataFrame, doc: SchemaDoc,
+               opts: CompileOpts = CompileOpts()): Column = {
+    val target = struct(df.columns.toIndexedSeq.map(col): _*)
+    ConstraintCompiler.compile(doc, target, df.schema, opts).valid
+  }
+
+  /** Phase 2 of the fused-scan shape: construct violation records from a
+    * digest whose `payloadCol` carries the FULL original row for invalid rows
+    * only (null otherwise) and whose `pidCol` carries the scan-time partition
+    * id. Same two-phase discipline as [[violations]] — the HOF-laden record
+    * construction only ever sees the failing fraction, here pre-filtered by
+    * `payloadCol IS NOT NULL` — but the wide source table is not re-scanned:
+    * the caller's digest (typically persisted) is the only input. */
+  def violationsFromPayload(digest: DataFrame, doc: SchemaDoc,
+                            payloadCol: String, pidCol: String, idCol: String,
+                            opts: CompileOpts = CompileOpts(),
+                            extraCols: Seq[String] = Nil): DataFrame = {
+    val rowSchema = digest.schema(payloadCol).dataType
+    val compiled = ConstraintCompiler.compile(doc, col(payloadCol), rowSchema, opts)
+    val keep = (extraCols :+ idCol).distinct.map(col)
+    // same nondeterminism guard as violations(): pins the CodegenFallback
+    // construction in its own projection above the isNotNull filter
+    val guarded = when(spark_partition_id() >= 0, compiled.violations)
+      .otherwise(emptyViolationsLit)
+    digest.filter(col(payloadCol).isNotNull)
+      .select(keep :+ guarded.as("_violations") :+ col(pidCol).as("partition_id"): _*)
+      .select(keep :+ explode(col("_violations")).as("v") :+ col("partition_id"): _*)
+      .select(keep ++ Seq(col("v.keyword").as("keyword"),
+        col("v.keywordLocation").as("keywordLocation"),
+        col("v.instanceLocation").as("instanceLocation"),
+        col("v.message").as("message"), col("partition_id")): _*)
+  }
+
   /** Convenience: is a single-column DataFrame of instances fully valid?
     * Used by the conformance-suite runner (value column = the instance). */
   def validColumn(df: DataFrame, schemaJson: String, valueCol: String = "value",

@@ -23,14 +23,15 @@ import org.apache.spark.sql.types._
   * @param ksThreshold    per-partition KS statistic above this fails drift
   * @param chi2PMin       chi-squared p-value below this fails drift
   * @param saltBuckets    salt fan-out for the uniqueness pre-aggregation
-  * @param persistFacts   cache the pending fact table (MEMORY_AND_DISK)
-  *                       across the pipeline's passes. The pipeline scans the
-  *                       facts once per check family (row constraints, RI,
-  *                       uniqueness, stats, drift) — the right default at
-  *                       100 TB where nothing caches, but measured 40×
-  *                       read amplification pain on one slow disk at 10^7
-  *                       rows. Enable when the input fits the cluster's
-  *                       storage memory.
+  * @param persistDigest  cache the narrow scan digest (MEMORY_AND_DISK)
+  *                       across the pipeline's check families. The digest is
+  *                       scalar columns + flags + (rare) invalid-row payloads
+  *                       — a few % of the input bytes — so caching it is safe
+  *                       at any input scale and is what makes the fused
+  *                       one-scan shape hold: the wide fact table is read
+  *                       exactly once regardless of how many check families
+  *                       run. Disable only to trade re-computation for zero
+  *                       storage-memory use.
   */
 final case class PipelineConfig(
     schemaJson: String,
@@ -45,7 +46,7 @@ final case class PipelineConfig(
     ksThreshold: Double = 0.1,
     chi2PMin: Double = 0.001,
     saltBuckets: Int = 64,
-    persistFacts: Boolean = false)
+    persistDigest: Boolean = true)
 
 final case class PipelineResult(violations: DataFrame, manifest: DataFrame)
 
@@ -57,22 +58,31 @@ final case class PipelineResult(violations: DataFrame, manifest: DataFrame)
   * Execution shape — designed for 10^12 rows / 1000 executors, verified on
   * local[n]:
   *
-  *  1. ONE pass over the fact table computes, fused in the same scan:
-  *     row-level violations (a whole-stage-codegen'd Column DAG — the
-  *     reference's `ValidateSubSchema` recursion, `pkg/types/schema/
-  *     schema.go:796-819`, unrolled at compile time) and the RI anti-join
-  *     probe (broadcast build side — zero shuffle of facts).
-  *  2. Per-partition stats are ONE hash aggregation keyed by the partition
-  *     column (partial+final; constant-size sketch state per group: HLL++ for
-  *     distinct, GK for quantiles).
-  *  3. Uniqueness is the only key-shuffle: salted two-phase aggregation —
+  *  1. ONE scan of the wide fact table — the only time the 100 TB payload is
+  *     read — produces a narrow DIGEST, fused in that single pass:
+  *     the codegen'd row-validity predicate (the reference's
+  *     `ValidateSubSchema` recursion, `pkg/types/schema/schema.go:796-819`,
+  *     unrolled at compile time into a lambda-free Column DAG), the RI
+  *     membership probe (broadcast build side — zero shuffle of facts), the
+  *     scan-time partition id for lineage, and the scalar columns every
+  *     downstream family needs. Invalid rows — the ~violation-rate fraction
+  *     — additionally carry the full original row for phase-2 violation
+  *     construction, so the digest is a few % of the input bytes and is
+  *     persisted (MEMORY_AND_DISK). Every later step reads the digest, never
+  *     the facts: check families are O(digest) re-reads, not O(input).
+  *  2. Violation records (HOF-laden construction → CodegenFallback) build in
+  *     a separate projection over only the digest's invalid payloads.
+  *  3. Per-partition stats are ONE hash aggregation of the digest keyed by
+  *     the partition column (partial+final; constant-size sketch state per
+  *     group: HLL++ for distinct, t-digest for quantiles).
+  *  4. Uniqueness is the only key-shuffle: salted two-phase aggregation —
   *     (key, salt) partial counts, then per-key re-aggregation — so a
   *     pathological hot key splits across `saltBuckets` reducers first.
   *     Offending keys (rare) broadcast back to attribute rows to partitions.
-  *  4. Drift reduces each side to its value domain (≤ vocab/len-bound rows)
+  *  5. Drift reduces each side to its value domain (≤ vocab/len-bound rows)
   *     BEFORE any window: per-partition KS windows only ever see
   *     |domain| rows, never raw data.
-  *  5. Resume: input partitions anti-join completed manifest rows — a driver
+  *  6. Resume: input partitions anti-join completed manifest rows — a driver
   *     metadata operation (partition list is small), so a restarted run
   *     re-reads only pending partitions' files.
   *
@@ -91,7 +101,7 @@ object ValidationPipeline {
     val part = col(cfg.partCol)
 
     // ---------------- resume: drop partitions already completed ----------------
-    val pending0: DataFrame = manifest match {
+    val pending: DataFrame = manifest match {
       case Some(m) =>
         val done = m.completedPartitions(runId)
           .select(col("partition_key").as(cfg.partCol))
@@ -102,22 +112,52 @@ object ValidationPipeline {
           Seq(cfg.partCol), "left_anti")
       case None => facts
     }
-    val pending =
-      if (cfg.persistFacts)
-        pending0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else pending0
 
-    // ---------------- 1. row-level constraint violations ----------------
-    // two-phase: codegen'd validity filter first, violation construction
-    // (CodegenFallback HOFs) only on the failing fraction (RowValidator)
-    val rowViol = RowValidator.violations(pending, doc, cfg.idCol,
-        extraCols = Seq(cfg.partCol))
+    // ---------------- 1. the fused scan → narrow digest ----------------
+    // Everything downstream reads this digest, never the wide facts: the
+    // payload (token arrays = nearly all input bytes) is read exactly once,
+    // killing the scan-per-check-family read amplification at cold storage.
+    // Scalar columns + flags always ride; only the rare invalid rows carry
+    // the full original row (for phase-2 violation construction), so the
+    // digest is a few % of the input bytes at production violation rates.
+    val scalarCols: Seq[String] =
+      (Seq(cfg.partCol, cfg.idCol) ++ cfg.uniqueKey ++ cfg.riKey ++
+        cfg.statsCols ++ cfg.quantileCol ++ cfg.driftNumCol ++ cfg.driftCatCol)
+        .distinct.filter(pending.columns.contains)
+    val rowStruct = struct(pending.columns.toIndexedSeq.map(col): _*)
+    val valid = RowValidator.validity(pending, doc)
+    // RI membership probes IN the scan: broadcast left-outer against the
+    // (distinct-ed, tiny) dimension key set — null/unknown keys flag false,
+    // matching the left-anti formulation of TableChecks.referentialViolations
+    val withRi: DataFrame = (cfg.riKey, dim) match {
+      case (Some(k), Some(d)) =>
+        val keys = d.select(col(d.columns.head).as(k)).distinct()
+          .withColumn("_ri_hit", lit(true))
+        pending.join(broadcast(keys), Seq(k), "left_outer")
+      case _ => pending.withColumn("_ri_hit", lit(true))
+    }
+    val digest0 = withRi.select(
+      scalarCols.map(col) ++ Seq(
+        spark_partition_id().as("_pid"),
+        coalesce(col("_ri_hit"), lit(false)).as("_ri_ok"),
+        when(!valid, rowStruct).as("_row")): _*)
+    val digest =
+      if (cfg.persistDigest)
+        digest0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else digest0
+
+    // ---------------- 2. row-level constraint violations ----------------
+    // two-phase: the scan evaluated only the codegen'd validity predicate;
+    // violation construction (CodegenFallback HOFs) runs here, over only the
+    // digest's invalid payloads (RowValidator.violationsFromPayload)
+    val rowViol = RowValidator.violationsFromPayload(digest, doc, "_row", "_pid",
+        cfg.idCol, extraCols = Seq(cfg.partCol))
       .select(part, col(cfg.idCol).cast(StringType).as("doc_id"),
         col("keyword"), col("keywordLocation"), col("instanceLocation"), col("message"))
 
-    // ---------------- 2. referential integrity (broadcast anti-join) ----------------
-    val riViol: Option[DataFrame] = for { k <- cfg.riKey; d <- dim } yield
-      TableChecks.referentialViolations(pending, d, k, d.columns.head)
+    // ---------------- 3. referential integrity (digest flag) ----------------
+    val riViol: Option[DataFrame] = for { k <- cfg.riKey; _ <- dim } yield
+      digest.filter(!col("_ri_ok"))
         .select(part, col(cfg.idCol).cast(StringType).as("doc_id"),
           lit("referential").as("keyword"),
           lit(s"#/$$dataset/referential/$k").as("keywordLocation"),
@@ -125,13 +165,13 @@ object ValidationPipeline {
           concat(lit(s"value of $k not in dimension: "), coalesce(col(k), lit("null")))
             .as("message"))
 
-    // ---------------- 3. uniqueness (salted two-phase + broadcast-back) ----------------
+    // ---------------- 4. uniqueness (salted two-phase + broadcast-back) ----------------
     val uniqViol: Option[DataFrame] = cfg.uniqueKey.map { k =>
-      val dups = TableChecks.duplicatesSalted(pending.filter(col(k).isNotNull),
+      val dups = TableChecks.duplicatesSalted(digest.filter(col(k).isNotNull),
         k, cfg.saltBuckets)
       // dup keys are rare (≤ violation rate) → broadcast them back over the
-      // facts to attribute every offending row to its partition.
-      pending.join(broadcast(dups), Seq(k))
+      // digest to attribute every offending row to its partition.
+      digest.join(broadcast(dups), Seq(k))
         .select(part, col(k).cast(StringType).as("doc_id"),
           lit("uniqueness").as("keyword"),
           lit(s"#/$$dataset/uniqueness/$k").as("keywordLocation"),
@@ -148,9 +188,9 @@ object ValidationPipeline {
       .reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---------------- 4. per-partition column stats (one hash agg) ----------------
+    // ---------------- 5. per-partition column stats (one digest hash agg) ----------------
     val statAggs: Seq[Column] = cfg.statsCols.flatMap { c =>
-      val isNum = pending.schema(c).dataType.isInstanceOf[NumericType]
+      val isNum = digest.schema(c).dataType.isInstanceOf[NumericType]
       Seq(
         avg(col(c).isNull.cast(DoubleType)).as(s"null_rate_$c"),
         approx_count_distinct(col(c), 0.02).cast(DoubleType).as(s"approx_distinct_$c")) ++
@@ -161,7 +201,7 @@ object ValidationPipeline {
       // t-digest sketch (north star): one mergeable digest per partition group
       graft.functions.TDigestQuantiles(col(qc), Seq(0.5, 0.95, 0.99)).as(s"_tdq_$qc")
     }
-    val stats0 = pending.groupBy(part)
+    val stats0 = digest.groupBy(part)
       .agg(count(lit(1)).as("row_count"), statAggs: _*)
     val stats = cfg.quantileCol.fold(stats0) { qc =>
       stats0
@@ -171,11 +211,11 @@ object ValidationPipeline {
         .drop(s"_tdq_$qc")
     }
 
-    // ---------------- 5. drift vs baseline (domain-sized windows) ----------------
+    // ---------------- 6. drift vs baseline (domain-sized windows) ----------------
     // KS on the numeric column: per-partition empirical CDF vs the GLOBAL
     // baseline CDF. Both sides reduce to per-value counts first.
     val ksByPart: Option[DataFrame] = for { c <- cfg.driftNumCol; b <- baseline } yield {
-      val cur = pending.groupBy(part, col(c).cast(DoubleType).as("v"))
+      val cur = digest.groupBy(part, col(c).cast(DoubleType).as("v"))
         .agg(count(lit(1)).as("ca"))
       val base = b.groupBy(col(c).cast(DoubleType).as("v"))
         .agg(count(lit(1)).as("cb"))
@@ -202,7 +242,7 @@ object ValidationPipeline {
 
     // chi-squared on the categorical column per partition vs baseline freqs.
     val chi2ByPart: Option[DataFrame] = for { c <- cfg.driftCatCol; b <- baseline } yield {
-      val o = pending.groupBy(part, col(c).as("k")).agg(count(lit(1)).as("o"))
+      val o = digest.groupBy(part, col(c).as("k")).agg(count(lit(1)).as("o"))
       val e = b.groupBy(col(c).as("k")).agg(count(lit(1)).as("eRaw"))
       val eTot = e.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
       // partitions × baseline-category grid (like the KS domain grid): a
@@ -222,7 +262,7 @@ object ValidationPipeline {
              count(lit(1)).as("chi2_categories"))
     }
 
-    // ---------------- 6. verdicts + manifest ----------------
+    // ---------------- 7. verdicts + manifest ----------------
     val violByPart = violations.groupBy(part)
       .agg(count(lit(1)).as("violation_count"))
 
