@@ -285,6 +285,17 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- similarity: IVF-flat ANN top-k (Voronoi cells around deterministic
+    //      centroids; probe the nprobe nearest cells, exact re-rank) ----
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb,
+        emb.filter(col("vec_id") < 10).withColumnRenamed("vec_id", "query_id"),
+        "vec_id", "embedding", "query_id", k = 3, nlist = 8, nprobe = 2)
+        .select(col("query_id"), col("item_id"), round(col("cosine"), 6).as("cosine"),
+          col("rank"))
+    }),
+
     // ---- text analysis: language ID ----
     "q_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -647,6 +658,39 @@ object SparkEntry {
            ranked AS (SELECT query_id, item_id, cosine,
              row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, item_id) rank
              FROM scored)
+           SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
+           FROM ranked WHERE rank <= 3""",
+
+      "q_ann_ivf" ->
+        // same deterministic IVF index as Similarity.ivfTopK(nlist=8,
+        // nprobe=2): centroids = md5-hash-ranked first 8 corpus vectors,
+        // assignment/probing by 9dp-rounded cosine with ties to the
+        // smallest cell id
+        """WITH n AS (SELECT vec_id, embedding::DOUBLE[] v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+           FROM embeddings),
+           cent AS (SELECT row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 1000000,
+               vec_id) - 1 AS ci, v cv, nrm cnrm FROM n
+             QUALIFY ci < 8),
+           sc AS (SELECT n.vec_id, c.ci,
+             round(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 9) s
+             FROM n CROSS JOIN cent c),
+           asg AS (SELECT vec_id item_id, ci cell FROM
+             (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, ci) rn FROM sc) WHERE rn = 1),
+           probes AS (SELECT vec_id query_id, ci cell FROM
+             (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                ORDER BY s DESC, ci) rn FROM sc WHERE vec_id < 10) WHERE rn <= 2),
+           cand AS (SELECT p.query_id, a.item_id
+             FROM probes p JOIN asg a USING (cell) WHERE a.item_id <> p.query_id),
+           scored AS (SELECT cand.query_id, cand.item_id,
+             list_dot_product(ni.v, nq.v) / (ni.nrm * nq.nrm) cosine
+             FROM cand JOIN n ni ON ni.vec_id = cand.item_id
+                       JOIN n nq ON nq.vec_id = cand.query_id),
+           ranked AS (SELECT query_id, item_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, item_id) rank FROM scored)
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3""",
 

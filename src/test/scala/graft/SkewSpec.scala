@@ -158,4 +158,30 @@ class AnnRecallSpec extends SparkSpec {
     // exact top-5 while examining far fewer than n² pairs
     assert(recall >= 0.3)
   }
+
+  test("ivfTopK recall vs brute force, deterministic across repartitioning") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20).withColumnRenamed("vec_id", "query_id")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "item_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5))
+    val ivf = pairs(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, nlist = 8, nprobe = 3))
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"ivfTopK recall@5 = $recall%.3f (${(exact & ivf).size}/${exact.size})")
+    // probing 3/8 random-init cells over near-orthogonal vectors: expect
+    // roughly the probed-mass fraction of the exact top-5
+    assert(recall >= 0.2)
+    // hash-keyed centroids + rounded-score argmax ⇒ identical results on a
+    // repartitioned input (partition order must not leak into the index)
+    val ivf2 = pairs(Similarity.ivfTopK(emb.repartition(13), queries,
+      "vec_id", "embedding", "query_id", k = 5, nlist = 8, nprobe = 3))
+    assert(ivf == ivf2)
+    // nprobe = nlist degenerates to exact brute force
+    val full = pairs(Similarity.ivfTopK(emb, queries,
+      "vec_id", "embedding", "query_id", k = 5, nlist = 8, nprobe = 8))
+    assert(full == exact)
+  }
 }
