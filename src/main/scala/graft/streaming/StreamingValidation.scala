@@ -94,6 +94,66 @@ object StreamingValidation {
       .select(col("w").getField("start").as("w_start"), col("chi2_stat"), col("n_obs"))
   }
 
+  /** Per-window PSI (population stability index) of `catCol` frequencies
+    * against a STATIC baseline — the streaming analogue of
+    * `TableChecks.psiDrift`.
+    *
+    * PSI = Σ (p−q)·ln(p/q) with p = o/N for observed categories (eps for a
+    * zero-observed baseline category) and q = the baseline fraction (eps for
+    * a category unknown to the baseline). The statistic decomposes into
+    * per-category SUM terms — Σ o(ln o − ln q), Σ q(ln o − ln q), Σ q, and
+    * the baseline-membership partial sums — plus driver-side constants of
+    * the static baseline (Σ q·ln q, Σ ln q, Σ q, |categories|), so the whole
+    * thing fits the chained windowed-aggregation pattern exactly like
+    * [[windowedChiSquared]]: counts per (window, category), then ONE
+    * re-window aggregation; zero-observed baseline categories enter through
+    * the constants. (The batch psiDrift floors p at eps also for observed
+    * categories; that differs only when 0 < o/N < eps — negligible by
+    * construction and absent for any window with N < 1/eps rows.) */
+  def windowedPsi(stream: DataFrame, baseline: DataFrame, catCol: String,
+                  eventTimeCol: String, windowDuration: String,
+                  watermarkDelay: String, eps: Double = 1e-6): DataFrame = {
+    val base = baseline.groupBy(col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("eRaw"))
+    val eTot = base.agg(sum("eRaw")).collect()(0).getLong(0).toDouble
+    val fracs: Map[String, Double] =
+      base.collect().map(r => r.getString(0) -> r.getLong(1) / eTot).toMap
+    // driver-side constants of the static baseline
+    val kCats = fracs.size
+    val c1 = fracs.values.map(q => q * math.log(q)).sum
+    val c2 = fracs.values.map(math.log).sum
+    val c3 = fracs.values.sum
+    val lnEps = math.log(eps)
+
+    val qCol = coalesce(element_at(typedLit(fracs), col("k")), lit(eps))
+    val inBase = element_at(typedLit(fracs), col("k")).isNotNull
+    val lnRatio = log(col("o")) - log(qCol) // ln o − ln q, per category
+
+    val counts = stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"),
+        col(catCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("o"))
+    counts
+      .groupBy(window(col("w"), windowDuration).as("w"))
+      .agg(
+        sum(col("o")).as("n"),
+        sum(col("o") * lnRatio).as("a"),       // Σ o(ln o − ln q)
+        sum(qCol * lnRatio).as("c"),           // Σ q(ln o − ln q)
+        sum(qCol).as("d"),                     // Σ q over observed
+        sum(when(inBase, qCol * log(qCol)).otherwise(0.0)).as("s1"),
+        sum(when(inBase, log(qCol)).otherwise(0.0)).as("s2"),
+        sum(when(inBase, qCol).otherwise(0.0)).as("s3"),
+        sum(when(inBase, 1L).otherwise(0L)).as("m_obs"))
+      .select(col("w").getField("start").as("w_start"), col("n").as("n_obs"),
+        // observed part: Σ (o/N − q)(ln o − ln N − ln q)
+        ((col("a") / col("n")) - log(col("n")) + log(col("n")) * col("d") - col("c") +
+          // zero-observed baseline categories: Σ (eps − q)(ln eps − ln q)
+          (lit(kCats) - col("m_obs")) * lit(eps * lnEps) -
+          lit(eps) * (lit(c2) - col("s2")) -
+          lit(lnEps) * (lit(c3) - col("s3")) +
+          (lit(c1) - col("s1"))).as("psi"))
+  }
+
   final case class SeenKey(occurrences: Long)
   final case class DupViolation(doc_id: String, keyword: String,
                                 keywordLocation: String, instanceLocation: String,

@@ -117,6 +117,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed PSI drift matches the batch psiDrift on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    val baseline = (Seq.fill(50)("web") ++ Seq.fill(50)("books")).toDF("source")
+    val out = StreamingValidation.windowedPsi(
+      input.toDF(), baseline, "source", "ts", "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("psiwin")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 3x web + 1x code (unknown to baseline, q = eps);
+      // window [10,20): 2+2 balanced → psi = 0
+      input.addData(
+        StreamRow(uuidA, Array(1), 1, "web", ts(0)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(1)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(2)),
+        StreamRow(uuidA, Array(1), 1, "code", ts(3)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(12)),
+        StreamRow(uuidA, Array(1), 1, "books", ts(13)),
+        StreamRow(uuidA, Array(1), 1, "web", ts(14)),
+        StreamRow(uuidA, Array(1), 1, "books", ts(15)))
+      q.processAllAvailable()
+      input.addData(StreamRow(uuidA, Array(1), 1, "web", ts(100)))
+      q.processAllAvailable()
+      val m = spark.sql("select w_start, psi from psiwin")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+      val w0 = ts(0).getTime - (ts(0).getTime % 10000)
+      val w1 = w0 + 10000
+      // the batch operator on the identical window contents is the oracle
+      def batchPsi(cur: Seq[String]): Double =
+        graft.table.TableChecks.psiDrift(cur.map(Tuple1(_)).toDF("source"),
+          baseline, "source").collect()(0).getDouble(0)
+      val exp0 = batchPsi(Seq("web", "web", "web", "code"))
+      assert(math.abs(m(w0) - exp0) < 1e-9, s"w0: ${m(w0)} vs batch $exp0")
+      assert(math.abs(m(w1) - 0.0) < 1e-12, s"w1: ${m(w1)}")
+    } finally q.stop()
+  }
+
   test("streaming uniqueness via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
