@@ -254,11 +254,18 @@ object ValidationPipeline {
       val joined = grid.join(o, Seq(cfg.partCol, "k"), "full_outer")
         .na.fill(0L, Seq("o", "eRaw"))
       val oTot = sum("o").over(Window.partitionBy(part))
+      // PSI per partition rides the SAME grid and aggregation (zero extra
+      // scans): p/q eps-floored exactly like TableChecks.psiDrift. Reported
+      // as a metric; the verdict gate stays on the chi² p-value.
+      val p = greatest(col("o").cast(DoubleType) / oTot, lit(1e-6))
+      val q = greatest(col("eRaw").cast(DoubleType) / eTot, lit(1e-6))
       joined
         .withColumn("e", (when(col("eRaw") === 0L, 0.5)
           .otherwise(col("eRaw").cast(DoubleType)) / eTot) * oTot)
+        .withColumn("psi_term", (p - q) * log(p / q))
         .groupBy(part)
         .agg(sum(pow(col("o") - col("e"), 2) / col("e")).as("chi2_stat"),
+             sum(col("psi_term")).as("psi_stat"),
              count(lit(1)).as("chi2_categories"))
     }
 
