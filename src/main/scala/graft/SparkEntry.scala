@@ -238,6 +238,21 @@ object SparkEntry {
         "doc_id", "tokens", minJaccard = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // ---- dedup: sub-document overlap-coefficient pairs (boilerplate /
+    //      containment near-dups that Jaccard under-scores) ----
+    "q_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", minOverlap = 0.6)
+        .select(col("id_a"), col("id_b"), round(col("overlap"), 6).as("overlap"))),
+
+    // ---- dedup: END-TO-END fuzzy dedup (MinHash-LSH pairs → connected
+    //      components → cluster label per doc; component = id marks keepers) ----
+    "q_fuzzy_dedup" -> ((s, dir) =>
+      Dedup.fuzzyDedupClusters(
+        tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", minJaccard = 0.5)
+        .select(col("id").as("doc_id"), col("component"))),
+
     // ---- dedup: SimHash signatures (portable bit arithmetic) ----
     "q_simhash" -> ((s, dir) =>
       tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
@@ -313,6 +328,15 @@ object SparkEntry {
     "q_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("ws_tokens"), col("bpe_est_tokens"))),
+
+    // ---- text analysis: corpus-level hot-shingle coverage (fraction of a
+    //      doc's shingles among the corpus top-K — boilerplate detection) ----
+    "q_hot_shingles" -> ((s, dir) =>
+      TextAnalysis.hotShingleCoverage(
+        tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", topK = 100)
+        .select(col("id").as("doc_id"), col("n_sh"), col("hot_hits"),
+          round(col("hot_coverage"), 6).as("hot_coverage"))),
 
     // ---- text analysis: within-document repetition (duplicate-bigram
     //      fraction — the Gopher repetition quality filter) ----
@@ -413,6 +437,31 @@ object SparkEntry {
     def hits(lang: String): String = {
       val ws = TextAnalysis.stopwords(lang).map(w => s"'$w'").mkString(",")
       s"len(list_filter(string_split(text,' '), w -> w IN ($ws)))"
+    }
+    // MinHash-LSH pair CTE chain ending in `mpairs` (id_a, id_b, jaccard) —
+    // shared by q_minhash_lsh and the q_fuzzy_dedup clustering oracle.
+    // bok mirrors Spark's maxBucket=1000 hot-bucket cap (banded-LSH guard).
+    val minhashPairCtes: String = {
+      val bandKeys = (0 until 4).map { bi =>
+        val parts = (0 until 4).map(j => s"(${mh(bi * 4 + j)})::VARCHAR")
+        s"SELECT id, toks, $bi band, concat_ws('_', ${parts.mkString(", ")}) bkey FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+         sig AS (SELECT id, toks, list_distinct($shSql) sh FROM ts WHERE len(toks) > 2),
+         bands0 AS ($bandKeys),
+         bok AS (SELECT band, bkey FROM bands0 GROUP BY 1, 2 HAVING count(*) <= 1000),
+         bands AS (SELECT bands0.* FROM bands0 JOIN bok USING (band, bkey)),
+         cand AS (SELECT DISTINCT a.id id_a, b.id id_b, a.toks t_a, b.toks t_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+         v AS (SELECT id_a, id_b,
+           len(list_intersect(
+             list_distinct(list_transform(range(1, greatest(len(t_a)-2,0)+1), i -> t_a[i]::BIGINT*16777216 + t_a[i+1]::BIGINT*4096 + t_a[i+2]::BIGINT)),
+             list_distinct(list_transform(range(1, greatest(len(t_b)-2,0)+1), i -> t_b[i]::BIGINT*16777216 + t_b[i+1]::BIGINT*4096 + t_b[i+2]::BIGINT))))::DOUBLE shared,
+           len(list_distinct(list_transform(range(1, greatest(len(t_a)-2,0)+1), i -> t_a[i]::BIGINT*16777216 + t_a[i+1]::BIGINT*4096 + t_a[i+2]::BIGINT)))::DOUBLE n_a,
+           len(list_distinct(list_transform(range(1, greatest(len(t_b)-2,0)+1), i -> t_b[i]::BIGINT*16777216 + t_b[i+1]::BIGINT*4096 + t_b[i+2]::BIGINT)))::DOUBLE n_b
+           FROM cand),
+         mpairs AS (SELECT id_a, id_b, round(shared / (n_a + n_b - shared), 6) AS jaccard
+           FROM v WHERE shared / (n_a + n_b - shared) >= 0.5)"""
     }
 
     Map(
@@ -594,29 +643,40 @@ object SparkEntry {
              round(shared::DOUBLE / (n_a + n_b - shared), 6) AS jaccard
            FROM pairs WHERE shared::DOUBLE / (n_a + n_b - shared) >= 0.5""",
 
-      "q_minhash_lsh" -> {
-        val bandKeys = (0 until 4).map { bi =>
-          val parts = (0 until 4).map(j => s"(${mh(bi * 4 + j)})::VARCHAR")
-          s"SELECT id, toks, $bi band, concat_ws('_', ${parts.mkString(", ")}) bkey FROM sig"
-        }.mkString(" UNION ALL ")
-        // bok mirrors Spark's maxBucket=1000 hot-bucket cap (banded-LSH guard)
+      "q_minhash_lsh" ->
+        s"WITH $minhashPairCtes SELECT id_a, id_b, jaccard FROM mpairs",
+
+      // fuzzy dedup = the minhash pair CTEs + recursive min-label
+      // propagation (same component semantics as the q_dup_clusters oracle)
+      "q_fuzzy_dedup" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           sym AS (SELECT id_a a, id_b b FROM mpairs
+                   UNION SELECT id_b, id_a FROM mpairs),
+           reach(node, label) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s2.a, r.label FROM reach r JOIN sym s2 ON s2.b = r.node),
+           cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+           SELECT d.doc_id::BIGINT AS doc_id,
+                  COALESCE(cc.component, d.doc_id::BIGINT) AS component
+           FROM documents d LEFT JOIN cc ON cc.node = d.doc_id::BIGINT""",
+
+      "q_containment" ->
+        // same plan as q_jaccard_pairs (incl. the maxDocFreq=1000 cap);
+        // only the scoring expression differs: shared / min(|A|, |B|)
         s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
-           sig AS (SELECT id, toks, list_distinct($shSql) sh FROM ts WHERE len(toks) > 2),
-           bands0 AS ($bandKeys),
-           bok AS (SELECT band, bkey FROM bands0 GROUP BY 1, 2 HAVING count(*) <= 1000),
-           bands AS (SELECT bands0.* FROM bands0 JOIN bok USING (band, bkey)),
-           cand AS (SELECT DISTINCT a.id id_a, b.id id_b, a.toks t_a, b.toks t_b
-             FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
-           v AS (SELECT id_a, id_b,
-             len(list_intersect(
-               list_distinct(list_transform(range(1, greatest(len(t_a)-2,0)+1), i -> t_a[i]::BIGINT*16777216 + t_a[i+1]::BIGINT*4096 + t_a[i+2]::BIGINT)),
-               list_distinct(list_transform(range(1, greatest(len(t_b)-2,0)+1), i -> t_b[i]::BIGINT*16777216 + t_b[i+1]::BIGINT*4096 + t_b[i+2]::BIGINT))))::DOUBLE shared,
-             len(list_distinct(list_transform(range(1, greatest(len(t_a)-2,0)+1), i -> t_a[i]::BIGINT*16777216 + t_a[i+1]::BIGINT*4096 + t_a[i+2]::BIGINT)))::DOUBLE n_a,
-             len(list_distinct(list_transform(range(1, greatest(len(t_b)-2,0)+1), i -> t_b[i]::BIGINT*16777216 + t_b[i+1]::BIGINT*4096 + t_b[i+2]::BIGINT)))::DOUBLE n_b
-             FROM cand)
-           SELECT id_a, id_b, round(shared / (n_a + n_b - shared), 6) AS jaccard
-           FROM v WHERE shared / (n_a + n_b - shared) >= 0.5"""
-      },
+           sh AS (SELECT id, list_distinct($shSql) s FROM ts WHERE len(toks) >= 3),
+           ex0 AS (SELECT id, len(s) n, unnest(s) sv FROM sh),
+           ok AS (SELECT sv FROM ex0 GROUP BY sv HAVING count(*) <= 1000),
+           ex AS (SELECT ex0.* FROM ex0 JOIN ok USING (sv)),
+           pairs AS (
+             SELECT a.id id_a, b.id id_b, count(*) shared,
+                    any_value(a.n) n_a, any_value(b.n) n_b
+             FROM ex a JOIN ex b ON a.sv = b.sv AND a.id < b.id
+             GROUP BY 1, 2)
+           SELECT id_a, id_b,
+             round(shared::DOUBLE / least(n_a, n_b), 6) AS overlap
+           FROM pairs WHERE shared::DOUBLE / least(n_a, n_b) >= 0.6""",
 
       "q_simhash" ->
         s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents WHERE doc_id < 50),
@@ -781,6 +841,19 @@ object SparkEntry {
         """SELECT doc_id, len(string_split(text,' ')) AS ws_tokens,
            ceil(length(text)::DOUBLE / 4.0)::BIGINT AS bpe_est_tokens
            FROM documents""",
+
+      "q_hot_shingles" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+           sh AS (SELECT id, list_distinct($shSql) s FROM ts WHERE len(toks) >= 3),
+           ex AS (SELECT id, unnest(s) sv FROM sh),
+           hot AS (SELECT sv FROM
+             (SELECT sv, count(*) c FROM ex GROUP BY 1
+              ORDER BY c DESC, sv ASC LIMIT 100)),
+           h AS (SELECT id, count(*) hits FROM ex JOIN hot USING (sv) GROUP BY 1)
+           SELECT sh.id AS doc_id, len(sh.s)::INT AS n_sh,
+             coalesce(h.hits, 0)::BIGINT AS hot_hits,
+             round(coalesce(h.hits, 0)::DOUBLE / len(sh.s), 6) AS hot_coverage
+           FROM sh LEFT JOIN h USING (id)""",
 
       "q_ngram_repeat" ->
         s"""WITH ts AS (SELECT doc_id, $tokSql toks FROM documents),

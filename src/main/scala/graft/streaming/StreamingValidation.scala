@@ -154,6 +154,37 @@ object StreamingValidation {
           (lit(c1) - col("s1"))).as("psi"))
   }
 
+  /** Per-window QUANTILE drift of a numeric column against a STATIC
+    * baseline — the streaming form of the manifest's t-digest quantile
+    * metrics. Baseline quantiles are computed exactly ONCE at stream setup
+    * (a driver action on the static side); each window then aggregates one
+    * mergeable t-digest ([[graft.functions.TDigestQuantiles]] — constant
+    * sketch state per window group, so state size is O(windows), not
+    * O(rows)) and emits its quantiles plus the max relative deviation
+    * `drift = max_i |q_w[i] − q_base[i]| / max(|q_base[i]|, 1)`.
+    * One windowed aggregation, append-mode compatible. */
+  def windowedQuantileDrift(stream: DataFrame, baseline: DataFrame, numCol: String,
+                            eventTimeCol: String, windowDuration: String,
+                            watermarkDelay: String,
+                            probs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    require(probs.nonEmpty, "probs must be non-empty")
+    val arr = probs.map(p => s"${p}D").mkString(", ")
+    val exact: Seq[Double] = baseline
+      .agg(expr(s"percentile($numCol, array($arr))"))
+      .collect()(0).getSeq[Double](0)
+    val agged = stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"))
+      .agg(graft.functions.TDigestQuantiles(col(numCol), probs).as("qs"),
+        count(lit(1)).as("n_obs"))
+    val devs = probs.indices.map { i =>
+      abs(element_at(col("qs"), i + 1) - lit(exact(i))) /
+        greatest(abs(lit(exact(i))), lit(1.0))
+    }
+    val drift = if (devs.size == 1) devs.head else greatest(devs: _*)
+    agged.select(col("w").getField("start").as("w_start"), col("n_obs"),
+      col("qs").as("quantiles"), drift.as("drift"))
+  }
+
   final case class SeenKey(occurrences: Long)
   final case class DupViolation(doc_id: String, keyword: String,
                                 keywordLocation: String, instanceLocation: String,

@@ -117,6 +117,64 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Sub-document (partial-overlap) near-dup pairs by the OVERLAP COEFFICIENT
+    * |A∩B| / min(|A|, |B|): a boilerplate header pasted into a long page, or a
+    * doc fully contained in another, scores ~1.0 here while its Jaccard stays
+    * low — the complementary metric to [[jaccardPairs]] for training-data
+    * dedup. Identical plan shape (one shingle scan → capped posting lists →
+    * in-list pair generation); only the final scoring expression differs. */
+  def containmentPairs(df: DataFrame, idCol: String, tokensCol: String,
+                       minOverlap: Double, maxDocFreq: Int = 1000): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        when(spark_partition_id() >= 0, shingles3(col(tokensCol))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val postings = exploded.groupBy("s")
+      .agg(sort_array(graft.expr.CappedCollectList(
+        struct(col("id"), col("n_sh")), maxDocFreq)).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+    val pairs = postings
+      .select(explode(graft.expr.ShingleExprs.postingPairs(col("ids"))).as("p"))
+      .select(col("p.*"))
+    pairs.groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"), first("n_a").as("n_a"), first("n_b").as("n_b"))
+      .withColumn("overlap", col("shared").cast("double") /
+        least(col("n_a"), col("n_b")).cast("double"))
+      .filter(col("overlap") >= minOverlap)
+      .select("id_a", "id_b", "overlap")
+  }
+
+  /** End-to-end fuzzy dedup — the full pipeline stage a training-data run
+    * actually executes: MinHash-LSH near-dup PAIRS → connected-component
+    * clustering ([[Components.connectedComponents]], so A~B, B~C collapse
+    * transitively even when A~C was never a candidate) → one cluster label
+    * per row. Returns every input id with its cluster `component` (= min id
+    * in the cluster; singletons label themselves). Rows where
+    * `component = id` are the canonical keepers. Scale shape: the pair
+    * generation is the capped banded-LSH plan of [[minhashLshPairs]]; the
+    * clustering is O(log² n) rounds of canonical-edge shuffles over the
+    * (pair-count-sized, ≪ corpus) edge list. */
+  def fuzzyDedupClusters(df: DataFrame, idCol: String, tokensCol: String,
+                         minJaccard: Double, k: Int = 16, bands: Int = 4,
+                         seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, tokensCol, minJaccard, k, bands, seed, maxBucket)
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as("id"))
+      .join(cc, col("id") === col("node"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Keep-one-per-cluster fuzzy dedup: survivors of [[fuzzyDedupClusters]]
+    * (the min-id representative of every near-dup cluster plus all
+    * singletons), with original columns intact. */
+  def dropFuzzyDuplicates(df: DataFrame, idCol: String, tokensCol: String,
+                          minJaccard: Double, k: Int = 16, bands: Int = 4,
+                          seed: Long = 42L, maxBucket: Int = 1000): DataFrame =
+    Components.dedupByPairs(df, idCol,
+      minhashLshPairs(df, idCol, tokensCol, minJaccard, k, bands, seed, maxBucket),
+      "id_a", "id_b")
+
   /** Deterministic MinHash coefficients — seeded LCG so the oracle SQL embeds
     * the identical constants. */
   def minhashCoeffs(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {

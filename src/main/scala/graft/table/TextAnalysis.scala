@@ -88,4 +88,38 @@ object TextAnalysis {
   def normalize(textCol: Column): Column =
     graft.expr.TextExprs.nfcNormalize(
       lower(trim(regexp_replace(textCol, "\\s+", " "))))
+
+  /** CORPUS-level hot-n-gram coverage: for every document, the fraction of
+    * its (distinct 3-gram) shingles that are among the corpus's `topK` most
+    * frequent shingles — the cross-document companion to
+    * [[dupBigramFraction]] (a doc dominated by corpus-wide boilerplate
+    * n-grams is low-value training data even when internally non-repetitive).
+    *
+    * Scale shape: shingle frequencies are a map-side-combined count
+    * aggregation over (shingle, doc) pairs — domain-sized, never payload;
+    * the top-K set (deterministic ties: count desc, shingle asc) is tiny and
+    * BROADCAST back for the membership probe. The shingle construction runs
+    * twice (frequency pass + probe pass) — both scans are the native
+    * codegen'd [[Dedup.shingles3]]; callers at 100 TB cache the narrow
+    * (id, shingles) projection if the input is derived. Returns
+    * (id, n_sh, hot_hits, hot_coverage). */
+  def hotShingleCoverage(df: DataFrame, idCol: String, tokensCol: String,
+                         topK: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        when(spark_partition_id() >= 0, Dedup.shingles3(col(tokensCol))).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+      .filter(col("n_sh") > 0)
+    val ex = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // deterministic top-K: (count desc, shingle asc) — a K-row result, the
+    // sort runs on the already-aggregated domain-sized count table
+    val hot = ex.groupBy("s").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("s").asc).limit(topK)
+    val hits = ex.join(broadcast(hot.select("s")), Seq("s"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("hot_hits"))
+    sh.select(col("id"), col("n_sh"))
+      .join(hits, Seq("id"), "left_outer")
+      .na.fill(0L, Seq("hot_hits"))
+      .withColumn("hot_coverage",
+        col("hot_hits").cast("double") / col("n_sh").cast("double"))
+  }
 }

@@ -155,6 +155,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed quantile drift: per-window t-digest vs static baseline quantiles") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    // baseline n_tok uniform 1..100 → p50 ≈ 50.5, p95 ≈ 95.05
+    val baseline = (1 to 100).map(i => Tuple1(i)).toDF("n_tok")
+    val out = StreamingValidation.windowedQuantileDrift(
+      input.toDF(), baseline, "n_tok", "ts", "10 seconds", "5 seconds",
+      probs = Seq(0.5, 0.95))
+    val q = out.writeStream.format("memory").queryName("qdrift")
+      .outputMode("append").start()
+    try {
+      // window [0,10): same 1..100 distribution → drift ~ 0;
+      // window [10,20): shifted 201..300 → large drift
+      val w0rows = (1 to 100).map(i =>
+        StreamRow(uuidA, Array(1), i, "web", ts(i % 10)))
+      val w1rows = (201 to 300).map(i =>
+        StreamRow(uuidA, Array(1), i, "web", ts(10 + (i % 10))))
+      input.addData(w0rows ++ w1rows: _*)
+      q.processAllAvailable()
+      input.addData(StreamRow(uuidA, Array(1), 1, "web", ts(100)))
+      q.processAllAvailable()
+      val m = spark.sql("select w_start, n_obs, drift from qdrift")
+        .collect().map(r => r.getTimestamp(0).getTime ->
+          ((r.getLong(1), r.getDouble(2)))).toMap
+      val w0 = ts(0).getTime - (ts(0).getTime % 10000)
+      val w1 = w0 + 10000
+      assert(m(w0)._1 === 100L && m(w1)._1 === 100L)
+      // identical distribution: t-digest on 100 points is near-exact
+      assert(m(w0)._2 < 0.02, s"w0 drift ${m(w0)._2}")
+      // +200 shift: p50 drift ≈ 200/50.5 ≈ 4 — far above any sketch noise
+      assert(m(w1)._2 > 2.0, s"w1 drift ${m(w1)._2}")
+    } finally q.stop()
+  }
+
   test("streaming uniqueness via flatMapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
