@@ -24,7 +24,8 @@ class ConformanceSpec extends SparkSpec {
     def read(f: String) = JsonMethods.parse(scala.io.Source.fromInputStream(
       getClass.getResourceAsStream(f), "UTF-8").mkString)
 
-    val flat = Seq("/conformance/cases.json", "/conformance/cases2.json").flatMap { f =>
+    val flat = Seq("/conformance/cases.json", "/conformance/cases2.json",
+      "/conformance/cases4.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
