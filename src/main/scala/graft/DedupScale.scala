@@ -42,11 +42,32 @@ object DedupScale {
     val (tSh, nSh) = timed(Dedup.simhashNearDups(corpus, "doc_id", "tokens",
       maxHamming = 0).count())
     val (tEx, nEx) = timed(Dedup.exactDuplicates(corpus, "doc_id", "tokens").count())
+    // end-to-end fuzzy dedup: LSH pairs + connected components + labeling;
+    // count = rows collapsed into another row's cluster
+    val (tFz, nFz) = timed(Dedup.fuzzyDedupClusters(corpus, "doc_id", "tokens",
+      minJaccard = 0.9).filter(col("component") =!= col("id")).count())
+    // corpus-global hot-shingle coverage (two shingle scans + broadcast probe)
+    val (tHot, nHot) = timed(graft.table.TextAnalysis.hotShingleCoverage(
+      corpus, "doc_id", "tokens", topK = 100)
+      .filter(col("hot_coverage") > 0.0).count())
+    // connected components on a chain-heavy 2-rows-per-node graph (the
+    // iterative worst case): distributed star rounds vs driver union-find
+    val chain = spark.range(rows).toDF("i")
+      .filter(col("i") % 5 =!= 0 && col("i") > 0)
+      .select(col("i").as("a"), (col("i") - 1).as("b"))
+    val (tCcD, nCcD) = timed(graft.table.Components
+      .connectedComponents(chain, "a", "b", driverEdgeMax = 0).count())
+    val (tCcU, nCcU) = timed(graft.table.Components
+      .connectedComponents(chain, "a", "b").count())
+    require(nCcD == nCcU, s"CC path disagreement: $nCcD vs $nCcU")
 
     println(s"""{"rows":$n,"cpus":$cpus,""" +
       s""""minhash_lsh_sec":$tMh,"minhash_pairs":$nMh,""" +
       s""""simhash_band_sec":$tSh,"simhash_pairs":$nSh,""" +
-      s""""exact_dedup_sec":$tEx,"exact_groups":$nEx}""")
+      s""""exact_dedup_sec":$tEx,"exact_groups":$nEx,""" +
+      s""""fuzzy_dedup_sec":$tFz,"fuzzy_collapsed":$nFz,""" +
+      s""""hot_shingle_sec":$tHot,"hot_docs":$nHot,""" +
+      s""""cc_chain_nodes":$nCcD,"cc_distributed_sec":$tCcD,"cc_driver_sec":$tCcU}""")
     corpus.unpersist()
     spark.stop()
   }
