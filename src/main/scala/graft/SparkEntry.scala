@@ -123,6 +123,15 @@ object SparkEntry {
       TableChecks.referentialViolations(docs, dim, "source", "source")
         .select("doc_id", "source")
     }),
+    // same RI semantics via the large-dimension path (key-only shuffles +
+    // rare-violation broadcast-back; the fact side never shuffles)
+    "q_ri_large" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val dim = docs.select("source").distinct()
+        .filter(!col("source").isin("src16", "src17", "src18", "src19"))
+      TableChecks.referentialViolationsLargeDim(docs, dim, "source", "source")
+        .select("doc_id", "source")
+    }),
 
     // ---- dataset-scope: column stats (exact subset for the oracle) ----
     "q_stats_lineitem" -> ((s, dir) => {
@@ -184,6 +193,22 @@ object SparkEntry {
     "q_violation_counts" -> ((s, dir) =>
       RowValidator.violations(tokenSeqs(s, dir), SchemaParser.parse(docSchemaJson), "doc_id")
         .groupBy("keyword").agg(count(lit(1)).as("cnt"))),
+
+    // ---- full pipeline: per-partition pass/fail manifest (the north-rule
+    //      artifact end-to-end — fused scan, row constraints, uniqueness,
+    //      RI, per-partition verdicts). Drift is off (no baseline) so the
+    //      verdict is the deterministic violation_count == 0 gate; sketch
+    //      metrics (HLL/t-digest) ride the manifest but are not selected ----
+    "q_partition_verdicts" -> ((s, dir) => {
+      import s.implicits._
+      val dim = (0 to 15).map(i => s"src$i").toDF("source")
+      val res = graft.run.ValidationPipeline.run(
+        s, tokenSeqs(s, dir), Some(dim), None,
+        graft.run.PipelineConfig(schemaJson = docSchemaJson, partCol = "source"),
+        runId = "verify")
+      res.manifest.select(col("partition_key"), col("row_count"),
+        col("violation_count"), col("verdict"))
+    }),
 
     // ---- canonical derived table aggregate (derivation correctness) ----
     "q_token_stats" -> ((s, dir) =>
@@ -509,6 +534,9 @@ object SparkEntry {
       "q_ri_violations" ->
         s"SELECT doc_id, source FROM documents WHERE source NOT IN ($allowedSrc)",
 
+      "q_ri_large" ->
+        s"SELECT doc_id, source FROM documents WHERE source NOT IN ($allowedSrc)",
+
       "q_stats_lineitem" ->
         // sum(CASE...) yields HUGEINT in DuckDB; ::BIGINT matches Spark's LongType
         """SELECT 'l_quantity' AS col_name, count(*) AS row_count,
@@ -584,6 +612,23 @@ object SparkEntry {
              UNION ALL
              SELECT 'enum', count(*) FILTER (WHERE source NOT IN ($allowedSrc)) FROM ts)
            SELECT keyword, cnt::BIGINT cnt FROM v WHERE cnt > 0""",
+
+      // per-partition verdicts: violation_count = per-instance row-keyword
+      // records (one per n_tok overflow, one per offending token, one per
+      // enum miss) + one RI record per row whose source misses the dimension
+      // (the enum and RI families both fire on the same bad-source rows —
+      // intentionally, they are distinct checks in the pipeline)
+      "q_partition_verdicts" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents),
+           v AS (SELECT source,
+             count(*) AS row_count,
+             count(*) FILTER (WHERE n_tok > 80)
+               + coalesce(sum(len(list_filter(toks, t -> t > 3900))), 0)
+               + 2 * count(*) FILTER (WHERE source NOT IN ($allowedSrc)) AS viol
+             FROM ts GROUP BY 1)
+           SELECT source AS partition_key, row_count::BIGINT AS row_count,
+             viol::BIGINT AS violation_count, viol = 0 AS verdict FROM v""",
 
       "q_token_stats" ->
         s"""WITH ts AS (SELECT len(string_split(text,' ')) n_tok, source FROM documents)

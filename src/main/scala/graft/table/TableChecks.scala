@@ -60,6 +60,44 @@ object TableChecks {
     facts.join(broadcast(dim.select(col(dimKey).as(factKey)).distinct()),
       Seq(factKey), "left_anti")
 
+  /** RI when the DIMENSION is too large to broadcast (a multi-billion-key
+    * allowed-doc_id list at the 10^12 target). A naive `facts LEFT ANTI dim`
+    * shuffles the entire 100 TB fact payload on the key. This path exploits
+    * the north rule's asymmetry — violations are rare (~1%) — so only KEYS
+    * ever shuffle:
+    *
+    *  phase 1: distinct fact keys (map-side combined, |key domain| rows)
+    *           LEFT ANTI dim keys → the violating-KEY set. Both shuffle
+    *           sides are key-only projections; the fact payload stays put.
+    *  phase 2: probe the violating-key count with limit(max+1) — never a
+    *           full count. If it fits `broadcastKeyMax` (the common case:
+    *           violations are anomalies), broadcast-semi-join the keys back
+    *           against the UNSHUFFLED fact table to emit the violating rows.
+    *  fallback: a violating-key set too large to broadcast means RI is
+    *           catastrophically broken — emit rows via the plain shuffled
+    *           anti-join (AQE skew-split applies) and log the downgrade.
+    *
+    * Reads the fact table twice (key projection + probe-back), but at scale
+    * two column-pruned scans beat one full-payload shuffle by an order of
+    * magnitude. Results are identical to [[referentialViolations]]. */
+  def referentialViolationsLargeDim(facts: DataFrame, dim: DataFrame,
+                                    factKey: String, dimKey: String,
+                                    broadcastKeyMax: Int = 4000000): DataFrame = {
+    val dimKeys = dim.select(col(dimKey).as(factKey)).distinct()
+    val badKeys = facts.select(col(factKey)).distinct()
+      .join(dimKeys, Seq(factKey), "left_anti")
+    val probe = badKeys.limit(broadcastKeyMax + 1).count()
+    if (probe <= broadcastKeyMax)
+      facts.join(broadcast(badKeys), Seq(factKey), "left_semi")
+    else {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"referentialViolationsLargeDim: > $broadcastKeyMax violating keys; " +
+          "falling back to shuffled anti-join of the fact table")
+      facts.join(dimKeys, Seq(factKey), "left_anti")
+    }
+  }
+
+
   // ---------------------------------------------------------------- column stats
 
   /** One-pass per-column statistics: a single full-scan aggregation producing

@@ -69,6 +69,32 @@ class SkewSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "RI join must broadcast the dim side")
     assert(!plan.contains("SortMergeJoin"))
   }
+
+  test("large-dim RI matches the broadcast path and never shuffles fact payload") {
+    val facts = spark.range(0, 100000, 1, 8).selectExpr("id",
+      "concat('k-', id % 1000) as fk", "repeat('x', 50) as payload")
+    // dimension covers 990 of the 1000 key values → 10 violating keys
+    val dim = spark.range(0, 990, 1, 4).selectExpr("concat('k-', id) as fk")
+    val fast = TableChecks.referentialViolationsLargeDim(facts, dim, "fk", "fk")
+    val exact = TableChecks.referentialViolations(facts, dim, "fk", "fk")
+    assert(fast.count() === exact.count())
+    assert(fast.count() === 1000L) // 10 keys × 100 rows each
+    assert(fast.select("fk").distinct().count() === 10L)
+    // phase 2 must be a broadcast semi-join: the fact scan (with payload)
+    // feeds no exchange
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "violating keys must broadcast back against the unshuffled fact table")
+  }
+
+  test("large-dim RI falls back to shuffled anti-join past broadcastKeyMax") {
+    val facts = spark.range(0, 5000, 1, 4).selectExpr("id", "concat('k-', id % 500) as fk")
+    val dim = spark.range(0, 100, 1, 2).selectExpr("concat('k-', id) as fk") // 400 bad keys
+    val out = TableChecks.referentialViolationsLargeDim(facts, dim, "fk", "fk",
+      broadcastKeyMax = 16)
+    val exact = TableChecks.referentialViolations(facts, dim, "fk", "fk")
+    assert(out.count() === exact.count())
+  }
 }
 
 /** Parity pin: the native SynthTokens generator must be bit-identical to the
