@@ -133,6 +133,21 @@ object SparkEntry {
         .select("doc_id", "source")
     }),
 
+    // ---- snapshot diff: row-for-row token-array equality vs a baseline
+    //      (north-star contract) — current = baseline with deterministic
+    //      removals (id%97), token edits (id%101) and additions (id%103) ----
+    "q_snapshot_diff" -> ((s, dir) => {
+      val base = tokenSeqs(s, dir)
+      val idNum = col("doc_id").cast("long")
+      val cur = base.filter(idNum % 97 =!= 0)
+        .withColumn("tokens", when(idNum % 101 === 0,
+          transform(col("tokens"), tk => tk + 1)).otherwise(col("tokens")))
+        .unionByName(base.filter(idNum % 103 === 0)
+          .withColumn("doc_id", concat(lit("new_"), col("doc_id"))))
+      graft.table.SnapshotDiff.snapshotDiff(cur, base, "doc_id",
+        Seq("tokens", "n_tok", "source"))
+    }),
+
     // ---- dataset-scope: column stats (exact subset for the oracle) ----
     "q_stats_lineitem" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -233,6 +248,20 @@ object SparkEntry {
     "q_dedup_keep_count" -> ((s, dir) =>
       Dedup.dropExactDuplicates(t(s, dir, "documents"), "doc_id", "text")
         .agg(count(lit(1)).as("cnt"))),
+
+    // ---- dedup: corpus-level repeated-paragraph removal (sub-document
+    //      granularity). Paragraphs = 4-word segments of the synthetic text;
+    //      any segment seen earlier (corpus-wide (doc_id, pos) order) is
+    //      dropped from later documents; segments < 10 chars are exempt ----
+    "q_para_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nSeg = ((size(words) + 3) / 4).cast("int")
+      val paras = transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(words, i * 4 + 1, lit(4)), " "))
+      Dedup.dropRepeatedParagraphs(
+        t(s, dir, "documents").select(col("doc_id"), paras.as("paras")),
+        "doc_id", "paras", minChars = 10)
+    }),
 
     // ---- dedup: pair-graph clustering (connected components) — collapses
     //      transitive near-dup chains (A~B, B~C ⇒ {A,B,C}) into one group.
@@ -386,6 +415,13 @@ object SparkEntry {
       Sampling.exactKPerStratum(t(s, dir, "documents"), "lang", "doc_id", k = 5)
         .select(col("doc_id"), col("lang"))),
 
+    // ---- sampling: down-mix to a target char-weighted source mixture ----
+    "q_mix_sample" -> ((s, dir) =>
+      Sampling.mixToTarget(t(s, dir, "documents"), "source", "doc_id", "n_chars",
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))),
+
     // ---- multimodal plumbing: opaque binary payload + metadata extraction
     //      (graft.table.Multimodal; codecs stubbed, schema/batching real) ----
     "q_multimodal_meta" -> ((s, dir) =>
@@ -537,6 +573,32 @@ object SparkEntry {
       "q_ri_large" ->
         s"SELECT doc_id, source FROM documents WHERE source NOT IN ($allowedSrc)",
 
+      "q_snapshot_diff" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, doc_id::BIGINT idn, $tokSql toks,
+             len(string_split(text,' '))::INT n_tok, source FROM documents),
+           cur AS (
+             SELECT doc_id,
+               CASE WHEN idn % 101 = 0 THEN list_transform(toks, tk -> (tk + 1)::INT)
+                    ELSE toks END AS toks, n_tok, source
+             FROM ts WHERE idn % 97 <> 0
+             UNION ALL
+             SELECT 'new_' || doc_id, toks, n_tok, source FROM ts WHERE idn % 103 = 0)
+           SELECT coalesce(c.doc_id, b.doc_id) AS doc_id,
+             CASE WHEN b.doc_id IS NULL THEN 'added'
+                  WHEN c.doc_id IS NULL THEN 'removed'
+                  ELSE 'changed' END AS diff_kind,
+             CASE WHEN c.doc_id IS NULL OR b.doc_id IS NULL THEN []::VARCHAR[]
+                  ELSE list_filter([
+                    CASE WHEN c.n_tok  IS DISTINCT FROM b.n_tok  THEN 'n_tok'  END,
+                    CASE WHEN c.source IS DISTINCT FROM b.source THEN 'source' END,
+                    CASE WHEN c.toks   IS DISTINCT FROM b.toks   THEN 'tokens' END],
+                    x -> x IS NOT NULL) END AS changed_cols
+           FROM cur c FULL OUTER JOIN ts b ON c.doc_id = b.doc_id
+           WHERE c.doc_id IS NULL OR b.doc_id IS NULL
+             OR c.toks IS DISTINCT FROM b.toks
+             OR c.n_tok IS DISTINCT FROM b.n_tok
+             OR c.source IS DISTINCT FROM b.source""",
+
       "q_stats_lineitem" ->
         // sum(CASE...) yields HUGEINT in DuckDB; ::BIGINT matches Spark's LongType
         """SELECT 'l_quantity' AS col_name, count(*) AS row_count,
@@ -653,6 +715,24 @@ object SparkEntry {
 
       "q_dedup_keep_count" ->
         "SELECT count(*) AS cnt FROM (SELECT min(doc_id) FROM documents GROUP BY text)",
+
+      "q_para_dedup" ->
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           d2 AS (SELECT doc_id, list_transform(range((len(words)+3)//4),
+                    i -> array_to_string(words[i*4+1:i*4+4], ' ')) AS paras FROM d),
+           p AS (SELECT doc_id, generate_subscripts(paras, 1) - 1 AS pos,
+                   unnest(paras) AS para FROM d2),
+           r AS (SELECT doc_id, pos, para,
+                   CASE WHEN length(para) >= 10
+                        THEN row_number() OVER (PARTITION BY para ORDER BY doc_id, pos)
+                        ELSE 1 END AS rn FROM p),
+           k AS (SELECT doc_id, pos, para FROM r WHERE rn = 1),
+           a AS (SELECT doc_id, list(para ORDER BY pos) AS clean_paras,
+                   count(*) AS nk FROM k GROUP BY 1)
+           SELECT d2.doc_id, coalesce(a.clean_paras, []::VARCHAR[]) AS clean_paras,
+             len(d2.paras)::INT AS n_paras,
+             (len(d2.paras) - coalesce(a.nk, 0))::INT AS n_removed
+           FROM d2 LEFT JOIN a USING (doc_id)""",
 
       "q_dup_clusters" ->
         """WITH RECURSIVE
@@ -924,6 +1004,24 @@ object SparkEntry {
                ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000,
                         doc_id) AS rk
              FROM documents) WHERE rk <= 5""",
+
+      "q_mix_sample" ->
+        """WITH avail AS (
+             SELECT source, sum(n_chars)::DOUBLE AS w FROM documents
+             WHERE source IN ('src0','src1','src2') GROUP BY 1),
+           shares(source, share) AS (
+             VALUES ('src0', 0.5::DOUBLE), ('src1', 0.3::DOUBLE), ('src2', 0.2::DOUBLE)),
+           j AS (SELECT a.source, a.w, s.share FROM avail a
+                 JOIN shares s USING (source) WHERE a.w > 0),
+           fr AS (SELECT source,
+                    least(1.0::DOUBLE, share * (SELECT min(w / share) FROM j) / w) AS f
+                  FROM j),
+           kept AS (
+             SELECT d.source, d.n_chars FROM documents d JOIN fr USING (source)
+             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+                   < trunc(f * 1e6)::BIGINT)
+           SELECT source, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
+           FROM kept GROUP BY 1""",
 
       "q_multimodal_meta" ->
         """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,

@@ -373,4 +373,70 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.cosine"))
       .distinct() // the same surviving pair may emerge from several tables
   }
+
+  /** Corpus-level repeated-paragraph removal (RefinedWeb/CCNet-style line
+    * dedup): every occurrence of a paragraph AFTER its first — first =
+    * smallest (doc_id, position) across the whole corpus — is removed from
+    * its document; paragraphs shorter than `minChars` (headings, blanks,
+    * separators) are exempt and always kept. Sub-document granularity
+    * catches the cross-page boilerplate (navigation bars, license footers,
+    * cookie banners) that document-level dedup cannot.
+    *
+    * Input: (idCol: numeric doc id, parasCol: array<string> — the document
+    * pre-split into paragraphs/lines/segments by the caller's rule).
+    * Output: one row per input doc —
+    * (id, clean_paras: array<string> in original order, n_paras, n_removed).
+    *
+    * Scale shape (10^12 docs):
+    *  1. the first-occurrence winner per paragraph group is decided on a
+    *     KEY-ONLY projection — (xxhash64(para), id, pos) triples shuffle
+    *     with map-side combine; paragraph text never enters this exchange;
+    *  2. the removal set (occurrences ≠ winner) is diff-sized; it probes
+    *     with limit(max+1).count and broadcast-anti-joins back against the
+    *     unshuffled exploded table in the common case (zero text shuffle),
+    *     falling back to a shuffled anti-join when removals are huge;
+    *  3. reassembly shuffles kept text once on the doc id — output-sized
+    *     and unavoidable (the result IS the regrouped document).
+    * Hash collisions: two distinct paragraphs colliding on xxhash64 would
+    * share a winner; at 64 bits the corpus-level collision odds stay
+    * negligible past 10^9 distinct paragraphs (standard content-hash dedup
+    * trade, same as [[exactDuplicates]] phase 1). */
+  def dropRepeatedParagraphs(df: DataFrame, idCol: String, parasCol: String,
+                             minChars: Int = 1,
+                             broadcastRemovalMax: Int = 4000000): DataFrame = {
+    val exploded = df.select(col(idCol).as("_id"),
+      posexplode(col(parasCol)).as(Seq("_pos", "_para")))
+    // phase 1: winners per paragraph hash, key-only
+    val occ = exploded.filter(length(col("_para")) >= minChars)
+      .select(xxhash64(col("_para")).as("_k"), col("_id"), col("_pos"))
+    val winners = occ.groupBy("_k")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"), count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+    // phase 2: losing occurrences = the removal set (still key-only)
+    val removals = occ.join(winners, Seq("_k"))
+      .filter(struct(col("_id"), col("_pos")) =!= col("_w"))
+      .select("_id", "_pos")
+    val probe = removals.limit(broadcastRemovalMax + 1).count()
+    val kept =
+      if (probe <= broadcastRemovalMax)
+        exploded.join(broadcast(removals), Seq("_id", "_pos"), "left_anti")
+      else {
+        log.warn(s"dropRepeatedParagraphs: > $broadcastRemovalMax removals; " +
+          "falling back to shuffled anti-join of the exploded corpus")
+        exploded.join(removals, Seq("_id", "_pos"), "left_anti")
+      }
+    // phase 3: reassemble in original order; docs whose every paragraph was
+    // removed still appear (left join from the doc spine), with empty output
+    val agg = kept.groupBy("_id").agg(
+      transform(array_sort(collect_list(struct(col("_pos"), col("_para")))),
+        x => x.getField("_para")).as("clean_paras"),
+      count(lit(1)).as("_nk"))
+    df.select(col(idCol).as("_id"), size(col(parasCol)).as("n_paras"))
+      .join(agg, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("clean_paras"),
+          array().cast("array<string>")).as("clean_paras"),
+        col("n_paras"),
+        (col("n_paras") - coalesce(col("_nk"), lit(0L))).cast("int").as("n_removed"))
+  }
 }

@@ -36,6 +36,39 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Down-sample to a TARGET MIXTURE of a weight column (data mixing): given
+    * target shares per stratum — e.g. web 0.6 / code 0.2 / books 0.2 of total
+    * TOKENS — compute the largest achievable total under those shares and the
+    * per-stratum keep fractions that realize it, then apply the deterministic
+    * stratified filter. The scarcest stratum (min avail_s/share_s) keeps
+    * everything; stratum s keeps share_s·T/avail_s where T = min_s
+    * avail_s/share_s; strata absent from `targetShares` are dropped.
+    *
+    * Keep decisions are hash-per-row, so realized shares converge to the
+    * target as 1/√n per stratum (exact at web scale, approximate on small
+    * tables) — the standard probabilistic mixer; use [[exactKPerStratum]]
+    * when row-exact counts matter more than weight-exact shares.
+    *
+    * Cost: ONE map-side-combined aggregation to |strata| rows (collected to
+    * the driver — strata are domain-bounded) + the zero-shuffle filter. */
+  def mixToTarget(df: DataFrame, strataCol: String, keyCol: String,
+                  weightCol: String, targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty && targetShares.values.forall(_ > 0.0),
+      "targetShares must be non-empty with positive shares")
+    val avail = df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*))
+      .groupBy(strataCol).agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // deterministic iteration order: fraction arithmetic must be
+    // bit-reproducible across runs AND engines (the DuckDB oracle replays it)
+    val present = targetShares.toSeq.sortBy(_._1).filter(s => avail.getOrElse(s._1, 0L) > 0L)
+    require(present.nonEmpty, "no target stratum present in the data")
+    val achievable = present.map { case (s, share) => avail(s) / share }.min
+    val fractions = present.map { case (s, share) =>
+      s -> math.min(1.0, share * achievable / avail(s))
+    }.toMap
+    stratifiedSample(df, strataCol, keyCol, fractions, default = 0.0)
+  }
+
   /** EXACTLY `k` rows per stratum (fewer when the stratum is smaller):
     * uniform without replacement by ranking on the key hash — a
     * deterministic reservoir. One shuffle on the stratum key; at web scale

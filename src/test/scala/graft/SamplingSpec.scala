@@ -58,6 +58,30 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixToTarget realizes target weight shares, scarcest stratum kept whole") {
+    // weights: s0 has 4x the tokens of s1; target 50/50 → s1 is scarcest
+    val rows = (0L until 2000L).map { i =>
+      if (i % 5 == 4) (i, "s1", 100) else (i, "s0", 100)
+    }
+    val df = rows.toDF("id", "src", "n_tok")
+    val out = Sampling.mixToTarget(df, "src", "id", "n_tok",
+      Map("s0" -> 0.5, "s1" -> 0.5))
+    val w = out.groupBy("src").agg(sum($"n_tok").as("w"))
+      .as[(String, Long)].collect().toMap
+    // scarcest stratum keeps ~everything; the other downsamples to match
+    assert(w("s1") == 400L * 100L)
+    val share0 = w("s0").toDouble / (w("s0") + w("s1"))
+    assert(share0 > 0.42 && share0 < 0.58, s"share0=$share0")
+    // strata not in the target are dropped entirely
+    val out2 = Sampling.mixToTarget(df, "src", "id", "n_tok", Map("s1" -> 1.0))
+    assert(out2.select("src").distinct().as[String].collect().toSeq == Seq("s1"))
+    // deterministic: repartitioning does not change the kept set
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.mixToTarget(df.repartition(7), "src", "id", "n_tok",
+      Map("s0" -> 0.5, "s1" -> 0.5)).select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("normalize: NFC composition, lowercase, whitespace collapse") {
     val df = Seq(
       "  Hello   World  ",
