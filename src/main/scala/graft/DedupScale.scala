@@ -50,6 +50,20 @@ object DedupScale {
     val (tHot, nHot) = timed(graft.table.TextAnalysis.hotShingleCoverage(
       corpus, "doc_id", "tokens", topK = 100)
       .filter(col("hot_coverage") > 0.0).count())
+    // paragraph-level dedup: 4 unique paragraphs per doc + a shared
+    // boilerplate footer on every 3rd doc — the removal set is ~n/3
+    // (id, pos) pairs, exercising the broadcast-back path at scale
+    val paraDocs = spark.range(rows).select(col("id").as("doc_id"),
+      concat(
+        transform(sequence(lit(0), lit(3)),
+          i => concat_ws(" ", lit("para"), col("id"), i)),
+        when(col("id") % 3 === 0,
+          array(lit("shared boilerplate footer text")))
+          .otherwise(array().cast("array<string>"))).as("paras"))
+    val (tPd, nPd) = timed(Dedup.dropRepeatedParagraphs(
+      paraDocs, "doc_id", "paras", minChars = 5)
+      .agg(sum("n_removed")).collect()(0).getLong(0))
+
     // connected components on a chain-heavy 2-rows-per-node graph (the
     // iterative worst case): distributed star rounds vs driver union-find
     val chain = spark.range(rows).toDF("i")
@@ -67,6 +81,7 @@ object DedupScale {
       s""""exact_dedup_sec":$tEx,"exact_groups":$nEx,""" +
       s""""fuzzy_dedup_sec":$tFz,"fuzzy_collapsed":$nFz,""" +
       s""""hot_shingle_sec":$tHot,"hot_docs":$nHot,""" +
+      s""""para_dedup_sec":$tPd,"para_removed":$nPd,""" +
       s""""cc_chain_nodes":$nCcD,"cc_distributed_sec":$tCcD,"cc_driver_sec":$tCcU}""")
     corpus.unpersist()
     spark.stop()

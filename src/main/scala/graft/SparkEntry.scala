@@ -307,6 +307,14 @@ object SparkEntry {
         "doc_id", "tokens", minJaccard = 0.5)
         .select(col("id").as("doc_id"), col("component"))),
 
+    // ---- dedup: END-TO-END semantic dedup over embeddings (cosine pairs →
+    //      connected components → cluster label; component = id = keeper) ----
+    "q_semantic_dedup" -> ((s, dir) =>
+      Dedup.semanticDedupClusters(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200),
+        "vec_id", "embedding", minCosine = 0.3)
+        .select(col("id").as("vec_id"), col("component"))),
+
     // ---- dedup: SimHash signatures (portable bit arithmetic) ----
     "q_simhash" -> ((s, dir) =>
       tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
@@ -402,6 +410,31 @@ object SparkEntry {
     "q_normalize" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("norm"))),
+
+    // ---- text analysis: PII scan + redaction. The synthetic corpus is
+    //      clean, so known PII is injected deterministically (doc_id-keyed)
+    //      in BOTH engines; the scan counts per category and the redacted
+    //      text is hash-compared end to end ----
+    "q_pii_scan" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").withColumn("text2", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" mailto user"), col("doc_id").cast("string"), lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" host 192.168.10.1")).otherwise(lit(""))))
+      TextAnalysis.piiScan(injected, "text2")
+        .filter(col("has_pii"))
+        .select(col("doc_id"), col("email_hits"), col("card_hits"), col("ssn_hits"),
+          col("phone_hits"), col("ipv4_hits"), col("pii_total"),
+          TextAnalysis.piiRedact(col("text2")).as("redacted"))
+    }),
+
+    // ---- text analysis: Gopher/C4 document-quality rules with keep verdict ----
+    "q_gopher_filter" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          col("ok_word_count"), col("ok_mean_word_len"),
+          col("ok_stopwords"), col("ok_symbol_ratio"), col("keep"))),
 
     // ---- sampling: deterministic hash-keyed stratified sample (data-mixing
     //      weights per language; reproducible across engines and runs) ----
@@ -992,6 +1025,71 @@ object SparkEntry {
         """SELECT doc_id,
            nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm
            FROM documents""",
+
+      "q_pii_scan" ->
+        // the injected-PII construction and the five RE2-clean patterns are
+        // byte-identical to the Spark side; counts via regexp_extract_all,
+        // redaction via chained regexp_replace with the 'g' flag (Spark's
+        // regexp_replace is always global)
+        """WITH t2 AS (SELECT doc_id, text ||
+             CASE WHEN doc_id % 7 = 0 THEN ' mailto user' || doc_id || '@example.com' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END ||
+             CASE WHEN doc_id % 13 = 0 THEN ' host 192.168.10.1' ELSE '' END AS text2
+           FROM documents),
+           c AS (SELECT doc_id, text2,
+             len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS email_hits,
+             len(regexp_extract_all(text2, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))::BIGINT AS card_hits,
+             len(regexp_extract_all(text2, '\b\d{3}-\d{2}-\d{4}\b'))::BIGINT AS ssn_hits,
+             len(regexp_extract_all(text2, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS phone_hits,
+             len(regexp_extract_all(text2, '\b(?:\d{1,3}\.){3}\d{1,3}\b'))::BIGINT AS ipv4_hits
+           FROM t2)
+           SELECT doc_id, email_hits, card_hits, ssn_hits, phone_hits, ipv4_hits,
+             email_hits + card_hits + ssn_hits + phone_hits + ipv4_hits AS pii_total,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CARD>', 'g'),
+               '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+               '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IPV4>', 'g') AS redacted
+           FROM c
+           WHERE email_hits + card_hits + ssn_hits + phone_hits + ipv4_hits > 0""",
+
+      "q_gopher_filter" ->
+        """WITH f AS (SELECT doc_id,
+             len(string_split(text, ' '))::INT AS n_words,
+             (length(text) - (len(string_split(text, ' ')) - 1))::DOUBLE
+               / len(string_split(text, ' ')) AS mean_word_len,
+             len(list_filter(string_split(text, ' '),
+               w -> w IN ('the','be','to','of','and','that','have','with'))) AS stop_hits,
+             len(regexp_extract_all(text, '[#…]|\.\.\.')) AS symbol_hits
+           FROM documents)
+           SELECT doc_id, n_words, round(mean_word_len, 6) AS mean_word_len,
+             n_words BETWEEN 50 AND 100000 AS ok_word_count,
+             mean_word_len BETWEEN 3.0 AND 10.0 AS ok_mean_word_len,
+             stop_hits >= 2 AS ok_stopwords,
+             symbol_hits::DOUBLE / n_words <= 0.1 AS ok_symbol_ratio,
+             (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND stop_hits >= 2 AND symbol_hits::DOUBLE / n_words <= 0.1 AS keep
+           FROM f""",
+
+      "q_semantic_dedup" ->
+        // brute-force cosine pairs (same subset/threshold as
+        // q_near_dup_cosine) → symmetric closure → label propagation →
+        // min-label per node = the connected component, like q_fuzzy_dedup
+        """WITH RECURSIVE n AS (SELECT vec_id id, embedding::DOUBLE[] v,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
+           FROM embeddings WHERE vec_id < 200),
+           p AS (SELECT a.id id_a, b.id id_b FROM n a JOIN n b ON a.id < b.id
+                 WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3),
+           sym AS (SELECT id_a a, id_b b FROM p UNION SELECT id_b, id_a FROM p),
+           reach(node, label) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s2.a, r.label FROM reach r JOIN sym s2 ON s2.b = r.node),
+           cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+           SELECT e.vec_id, COALESCE(cc.component, e.vec_id) AS component
+           FROM embeddings e LEFT JOIN cc ON cc.node = e.vec_id
+           WHERE e.vec_id < 200""",
 
       "q_strat_sample" ->
         """SELECT doc_id, lang FROM documents

@@ -374,6 +374,24 @@ object Dedup {
       .distinct() // the same surviving pair may emerge from several tables
   }
 
+  /** End-to-end SEMANTIC dedup over an embedding column — the embedding-space
+    * analogue of [[fuzzyDedupClusters]] (SemDeDup-style, Abbas et al. 2023):
+    * cosine near-dup PAIRS → connected-component clustering → one cluster
+    * label per row (component = min id; `component = id` marks the keepers).
+    * Pair generation routes like [[embeddingNearDups]]: exact O(n²) under
+    * `bruteForceMax` rows, bucketed sign-LSH above it — at 10^9 vectors the
+    * LSH path's candidate shuffles carry only (table, bucket, id) triples and
+    * the clustering runs over the (pair-count-sized, ≪ corpus) edge list. */
+  def semanticDedupClusters(df: DataFrame, idCol: String, vecCol: String,
+                            minCosine: Double,
+                            bruteForceMax: Long = 10000L): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, minCosine, bruteForceMax)
+    val cc = Components.connectedComponents(pairs, "id_a", "id_b")
+    df.select(col(idCol).cast("long").as("id"))
+      .join(cc, col("id") === col("node"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Corpus-level repeated-paragraph removal (RefinedWeb/CCNet-style line
     * dedup): every occurrence of a paragraph AFTER its first — first =
     * smallest (doc_id, position) across the whole corpus — is removed from
@@ -416,11 +434,16 @@ object Dedup {
     val removals = occ.join(winners, Seq("_k"))
       .filter(struct(col("_id"), col("_pos")) =!= col("_w"))
       .select("_id", "_pos")
-    val probe = removals.limit(broadcastRemovalMax + 1).count()
+    // the removal set is diff-sized: collect it ONCE (capped) and join the
+    // exploded corpus against the local relation — a broadcast(removals)
+    // after a count probe would evaluate the winners subtree twice
+    val removalRows = removals.limit(broadcastRemovalMax + 1).collect()
     val kept =
-      if (probe <= broadcastRemovalMax)
-        exploded.join(broadcast(removals), Seq("_id", "_pos"), "left_anti")
-      else {
+      if (removalRows.length <= broadcastRemovalMax) {
+        val local = df.sparkSession.createDataFrame(
+          java.util.Arrays.asList(removalRows: _*), removals.schema)
+        exploded.join(broadcast(local), Seq("_id", "_pos"), "left_anti")
+      } else {
         log.warn(s"dropRepeatedParagraphs: > $broadcastRemovalMax removals; " +
           "falling back to shuffled anti-join of the exploded corpus")
         exploded.join(removals, Seq("_id", "_pos"), "left_anti")

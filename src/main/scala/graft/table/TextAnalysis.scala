@@ -89,6 +89,77 @@ object TextAnalysis {
     graft.expr.TextExprs.nfcNormalize(
       lower(trim(regexp_replace(textCol, "\\s+", " "))))
 
+  /** PII detection patterns — deliberately RE2-clean (character classes,
+    * bounded quantifiers, non-capturing groups, `\b` only), so the same
+    * pattern string runs identically under Spark's Java regex and the
+    * oracle's RE2, and passes the engine's own [[graft.compile.RegexDialect]]
+    * guard. Ordered most-specific-first for redaction (a card number must
+    * not be partially consumed by the phone pattern). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "card" -> "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "phone" -> "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b",
+    "ipv4" -> "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b")
+
+  /** Per-document PII hit counts (one column per [[piiPatterns]] category,
+    * `<cat>_hits`) plus `pii_total` and `has_pii` — the scan pass a
+    * redaction/quarantine pipeline stage gates on. Pure codegen'd
+    * `regexp_extract_all` arithmetic; no UDF, no shuffle. */
+  def piiScan(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val withCounts = piiPatterns.foldLeft(df) { case (acc, (cat, pat)) =>
+      acc.withColumn(s"${cat}_hits",
+        size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+    }
+    val total = piiPatterns.map(p => col(s"${p._1}_hits"))
+      .reduce(_ + _)
+    withCounts.withColumn("pii_total", total)
+      .withColumn("has_pii", total > 0)
+  }
+
+  /** PII redaction: every [[piiPatterns]] match replaced by its
+    * `<CATEGORY>` placeholder, applied most-specific-first. Chained
+    * codegen'd `regexp_replace` (replaces ALL occurrences) — the transform
+    * stage paired with [[piiScan]]. */
+  def piiRedact(textCol: Column): Column =
+    piiPatterns.foldLeft(textCol) { case (acc, (cat, pat)) =>
+      regexp_replace(acc, lit(pat), lit(s"<${cat.toUpperCase}>"))
+    }
+
+  /** Gopher-style (Rae et al. 2021, §A1.1) + C4 (Raffel et al. 2020, §2.2)
+    * document-quality rules as one flag projection: word-count bounds, mean
+    * word length bounds, minimum stopword evidence, and a symbol-to-word
+    * ratio cap, plus the conjunction `keep`. Word splitting matches the
+    * corpus convention (single-space tokens); mean word length assumes
+    * single-space separation, `(n_chars − (n_words − 1)) / n_words`.
+    * Zero-shuffle, fully codegen'd — at 10^12 docs this is a pure map stage
+    * that fuses into the scan. */
+  def gopherQualityFlags(df: DataFrame, textCol: String,
+                         minWords: Int = 50, maxWords: Int = 100000,
+                         minMeanWordLen: Double = 3.0,
+                         maxMeanWordLen: Double = 10.0,
+                         minStopwordHits: Int = 2,
+                         maxSymbolRatio: Double = 0.1): DataFrame = {
+    val t = col(textCol)
+    val nWords = size(split(t, " "))
+    val meanLen = (length(t) - (nWords - 1)).cast("double") / nWords.cast("double")
+    // Gopher's stopword rule: ≥2 of a fixed tiny list ("the","be","to","of",
+    // "and","that","have","with") — evidence of running prose
+    val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val symbolHits = size(regexp_extract_all(t, lit("[#…]|\\.\\.\\."), lit(0)))
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("ok_word_count", nWords.between(minWords, maxWords))
+      .withColumn("ok_mean_word_len", meanLen.between(minMeanWordLen, maxMeanWordLen))
+      .withColumn("ok_stopwords", stopwordHits(t, gopherStops) >= minStopwordHits)
+      .withColumn("ok_symbol_ratio",
+        symbolHits.cast("double") / nWords.cast("double") <= maxSymbolRatio)
+      .withColumn("keep",
+        col("ok_word_count") && col("ok_mean_word_len") &&
+          col("ok_stopwords") && col("ok_symbol_ratio"))
+  }
+
   /** CORPUS-level hot-n-gram coverage: for every document, the fraction of
     * its (distinct 3-gram) shingles that are among the corpus's `topK` most
     * frequent shingles — the cross-document companion to
