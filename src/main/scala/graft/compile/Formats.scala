@@ -52,15 +52,22 @@ object Formats {
     pmod(utcMin, lit(1440)) === lit(23 * 60 + 59)
   }
 
-  /** RFC3339 duration grammar (time.go:210-359): P…(date parts)…(T time parts),
-    * weeks exclusive, at least one component, fraction only allowed? The
-    * reference allows integer components only (no fractions). */
-  private val durationRe =
-    "^P(\\d+W|(\\d+Y)?(\\d+M)?(\\d+D)?(T(\\d+H)?(\\d+M)?(\\d+S)?)?)$"
-  private def validDuration(c: Column): Column =
-    c.rlike(durationRe) &&
-      // must contain at least one component: bare "P" or trailing bare "T" invalid
-      !c.rlike("^P$") && !c.rlike("T$")
+  /** Duration — an EXACT transcription of the reference's hand-rolled
+    * automaton (time.go:210-359), quirks included, rather than the RFC3339
+    * ABNF it documents:
+    *  - case-insensitive designators (`isChar(s, 'P', 'p')` etc.);
+    *  - a week component may be followed by a time part (`P4WT1H` valid,
+    *    time.go:305-310) even though RFC3339 makes dur-week exclusive;
+    *  - inside the time part, H with more content REQUIRES M next
+    *    (`PT1H2S` invalid, time.go:269-281);
+    *  - the final S check is first-char-only — trailing garbage after S is
+    *    accepted (`PT1S1M` valid, time.go:293);
+    *  - no fractional components (skipDigits stops at '.'). */
+  private val durationRe = {
+    val dt = "[Tt]\\d+([Hh](\\d+[Mm](\\d+[Ss][\\s\\S]*)?)?|[Mm](\\d+[Ss][\\s\\S]*)?|[Ss][\\s\\S]*)"
+    s"^[Pp]($dt|\\d+([Ww]($dt)?|[Yy]($dt|\\d+[Mm]($dt|\\d+[Dd]($dt)?)?)?|[Mm]($dt|\\d+[Dd]($dt)?)?|[Dd]($dt)?))$$"
+  }
+  private def validDuration(c: Column): Column = c.rlike(durationRe)
 
   private val uuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 
@@ -68,17 +75,25 @@ object Formats {
     "^((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)$"
 
   // IPv6: full/compressed groups, optional trailing IPv4; zone (%x) rejected
-  // like netip.ParseAddr+zone check (pkg/format/ip.go:26-29).
-  private val ipv6Re = {
+  // by the ipv6 FORMAT like netip.ParseAddr+zone check (pkg/format/ip.go:26-29)
+  // — but hostname/idn-hostname accept zoned addresses (ParseAddr succeeds,
+  // hostname.go:61-64), so the zone-less core is kept separately.
+  private val ipv6Core = {
     val h = "[0-9A-Fa-f]{1,4}"
     val v4 = "((25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)\\.){3}(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
-    s"^(($h:){7}$h|($h:){1,7}:|:(:$h){1,7}|($h:){1,6}:$h|($h:){1,5}(:$h){1,2}|($h:){1,4}(:$h){1,3}|($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|$h:(:$h){1,6}|::|($h:){1,4}:$v4|($h:){6}$v4|::($h:){0,5}$v4)$$"
+    s"(($h:){7}$h|($h:){1,7}:|:(:$h){1,7}|($h:){1,6}:$h|($h:){1,5}(:$h){1,2}|($h:){1,4}(:$h){1,3}|($h:){1,3}(:$h){1,4}|($h:){1,2}(:$h){1,5}|$h:(:$h){1,6}|::|($h:){1,4}:$v4|($h:){6}$v4|::($h:){0,5}$v4)"
   }
+  private val ipv6Re = s"^$ipv6Core$$"
 
   // hostname: labels 1-63 chars, alnum + hyphen, no leading/trailing hyphen,
   // total <= 253, optional trailing dot (pkg/format/hostname.go non-IDN path).
   private val hostnameLabel = "[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
   private val hostnameRe = s"^$hostnameLabel(\\.$hostnameLabel)*\\.?$$"
+  // any parseable IP address — INCLUDING a zoned IPv6 — is a valid hostname
+  // (hostname.go:61-64 returns true straight off netip.ParseAddr; dotted-quad
+  // IPv4 also reaches here but already matches the all-digit-label regex)
+  private def ipAsHostname(c: Column): Column =
+    c.rlike(s"^$ipv6Core(%[^%\\s]+)?$$")
 
   // email: local@domain (RFC5321 grammar, the one the reference's net/mail
   // call accepts, pkg/format/email.go:42-99):
@@ -90,7 +105,11 @@ object Formats {
   private val addrLiteral =
     s"\\[($snum(\\.$snum){3}|[Ii][Pp][Vv]6:[0-9A-Fa-f:.]+)\\]"
   private val emailLocalRe = s"($atext(\\.$atext)*|$quotedLocal)"
-  private val emailDomainRe = s"($hostnameLabel(\\.$hostnameLabel)*|$addrLiteral)"
+  // domain = net/mail dot-atom (atext labels, NO hostname shape rules — a
+  // trailing hyphen like "b-.com" parses) intersected with the ASCII charset
+  // check isNonIDNDomain [A-Za-z0-9.-] (email.go:102-139); hence hyphens
+  // anywhere but '_'/'!' etc rejected, empty labels rejected by the dot-atom
+  private val emailDomainRe = s"([A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)*|$addrLiteral)"
   private val emailRe = s"^$emailLocalRe@$emailDomainRe$$"
 
   // json-pointer: "" or (/ (unescaped | ~0 | ~1)*)* (pkg/format/jsonpointer.go:15-49)
@@ -109,11 +128,44 @@ object Formats {
   private val uriRefRe = s"^$uriTailRe$$"
   private def uriExtraChecks(c: Column): Column =
     !c.rlike("%(?![0-9A-Fa-f]{2})") &&           // malformed percent-escape
+    // a %5C escape in the fragment decodes to '\' — checkURI rejects
+    // backslashes in the DECODED fragment (uri.go:101-103); raw backslashes
+    // are already excluded by uriTailRe
+    !c.rlike("#.*%5[Cc]") &&
     // bare IPv6 host = TWO+ colons in the HOST portion. Userinfo (which
     // legally contains colons, RFC3986) is consumed first; the lookahead
     // forces the optional group to actually take a present userinfo@ (an
     // empty-group backtrack would let the host class eat "user:p").
     !c.rlike("^[A-Za-z][A-Za-z0-9+.-]*://([^/?#@]*@)?(?![^/?#]*@)[^/?#\\[\\]@]*:[^/?#\\[\\]@]*:")
+
+  // --- URI path discipline (uri/uri-reference ONLY — checkURI returns early
+  // for IRIs before the RawPath loop, uri.go:105-108). Transcribes the
+  // composition of net/url's setPath canonicalization with checkURI's
+  // RawPath character loop (uri.go:110-120):
+  //  - Go re-encodes the decoded path; RawPath is retained only when it
+  //    differs from that canonical form. checkURI then rejects any RawPath
+  //    character outside alnum + "-_.~@&=+$/;,()#".
+  //  - Net effect: a path is valid iff every raw character is one Go leaves
+  //    unescaped (alnum + "-._~$&+,/:;=@") and every escape is CANONICAL
+  //    (uppercase hex, decoding to a character Go would escape) — OR the
+  //    path triggered RawPath retention solely via '('/')' (allowed by the
+  //    loop) with no escapes and no ':' (in the loop's list neither).
+  private val pathE = "A-Za-z0-9\\-._~$&+,/:;=@"
+  // uppercase hex codes of the characters Go does NOT escape in a path — an
+  // escape decoding to one of them is non-canonical and poisons RawPath
+  private val pathEHexAlt: String =
+    ("-._~$&+,/:;=@".map(_.toInt) ++
+      (('0' to '9') ++ ('A' to 'Z') ++ ('a' to 'z')).map(_.toInt))
+      .map(i => f"$i%02X").mkString("|")
+  private def uriPathOk(c: Column): Column = {
+    val path = regexp_extract(c,
+      "^(?:[A-Za-z][A-Za-z0-9+.-]*:)?(?://[^/?#]*)?([^?#]*)", 1)
+    val badChar = path.rlike(s"[^$pathE()%]")
+    val badEscape = path.rlike("%(?:[0-9A-Fa-f][a-f]|[a-f][0-9A-Fa-f])") ||
+      path.rlike(s"%(?:$pathEHexAlt)")
+    val parenClash = path.rlike("[()]") && path.rlike("[:%]")
+    !badChar && !badEscape && !parenClash
+  }
 
   // idn-email: RFC6531 — the same grammar with Unicode letters/marks/digits
   // admitted in the local atoms and domain labels (email.go:28-37).
@@ -185,15 +237,19 @@ object Formats {
       c.rlike(s"^${dateRe}[Tt ]$timeRe$$") && validDate(datePart) && validTime(timePart)
     },
     "duration" -> validDuration,
-    "email" -> (c => c.rlike(emailRe) && length(c) <= 254),
-    "idn-email" -> (c => c.rlike(idnEmailRe) && length(c) <= 254),
-    "hostname" -> (c => c.rlike(hostnameRe) && length(c) <= 253),
-    "idn-hostname" -> validIdnHostname,
+    // no overall-length cap: the reference defers entirely to net/mail,
+    // which does not enforce RFC5321's 254-octet limit (email.go:102-106)
+    "email" -> (c => c.rlike(emailRe)),
+    "idn-email" -> (c => c.rlike(idnEmailRe)),
+    "hostname" -> (c => (c.rlike(hostnameRe) && length(c) <= 253) || ipAsHostname(c)),
+    "idn-hostname" -> (c => validIdnHostname(c) || ipAsHostname(c)),
     "json-pointer" -> (c => c.rlike(jsonPointerRe)),
     "relative-json-pointer" -> (c => c.rlike(relJsonPointerRe)),
     // URIs are ASCII by RFC3986 — the IRI forms admit non-ASCII
-    "uri" -> (c => c.rlike(uriRe) && uriExtraChecks(c) && !c.rlike("[^\\x00-\\x7F]")),
-    "uri-reference" -> (c => c.rlike(uriRefRe) && uriExtraChecks(c) && !c.rlike("[^\\x00-\\x7F]")),
+    "uri" -> (c => c.rlike(uriRe) && uriExtraChecks(c) && uriPathOk(c) &&
+      !c.rlike("[^\\x00-\\x7F]")),
+    "uri-reference" -> (c => c.rlike(uriRefRe) && uriExtraChecks(c) && uriPathOk(c) &&
+      !c.rlike("[^\\x00-\\x7F]")),
     "iri" -> (c => c.rlike(uriRe) && uriExtraChecks(c)),
     "iri-reference" -> (c => c.rlike(uriRefRe) && uriExtraChecks(c)),
     "regex" -> (c => regexValid(c))

@@ -25,7 +25,8 @@ class ConformanceSpec extends SparkSpec {
       getClass.getResourceAsStream(f), "UTF-8").mkString)
 
     val flat = Seq("/conformance/cases.json", "/conformance/cases2.json",
-      "/conformance/cases4.json", "/conformance/cases5.json").flatMap { f =>
+      "/conformance/cases4.json", "/conformance/cases5.json",
+      "/conformance/cases6.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
