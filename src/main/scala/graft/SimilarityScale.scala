@@ -49,10 +49,17 @@ object SimilarityScale {
       .withColumnRenamed("vec_id", "query_id")
     val (tTk, nTk) = timed(Similarity.lshTopK(corpus, queries,
       "vec_id", "embedding", "query_id", k = 5, numPlanes = 12, numTables = 4).count())
+    // end-to-end semantic dedup: pairs → connected components → labels;
+    // every injected duplicate pair must collapse (non-representative rows =
+    // rows whose component differs from their own id)
+    val (tSd, nSd) = timed(Dedup.semanticDedupClusters(corpus, "vec_id",
+      "embedding", minCosine = 0.95, bruteForceMax = 10000L)
+      .filter(col("component") =!= col("id")).count())
 
     println(s"""{"rows":$n,"cpus":$cpus,"dim":$dim,""" +
       s""""lsh_near_dup_sec":$tNd,"near_dup_pairs":$nNd,""" +
-      s""""lsh_topk_sec":$tTk,"topk_rows":$nTk}""")
+      s""""lsh_topk_sec":$tTk,"topk_rows":$nTk,""" +
+      s""""semantic_dedup_sec":$tSd,"semantic_collapsed":$nSd}""")
     corpus.unpersist()
     spark.stop()
   }

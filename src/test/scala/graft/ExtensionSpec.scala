@@ -87,6 +87,11 @@ class ExtensionSpec extends SparkSpec {
     assert(viaSql.getLong(4) == viaApi.getLong(4))
     assert(math.abs(viaSql.getDouble(5) - 11.0) < 1e-12)
 
+    // pii redaction from SQL matches the Column composition
+    val sqlRed = spark.sql(
+      "SELECT graft_pii_redact('mail a@b.co call 555-867-5309')").collect()(0).getString(0)
+    assert(sqlRed === "mail <EMAIL> call <PHONE>")
+
     // uncast SQL literals (DECIMAL arrays) must be coerced, not silently
     // reinterpreted bit-wise
     val rawDot = spark.sql("SELECT graft_dot(array(1.0, 2.0), array(3.0, 4.0))")
