@@ -308,7 +308,9 @@ object Dedup {
     * (`bruteForceMax`) that the exact O(n²) self-join is cheaper than
     * bucketing — brute force is the exactness baseline, LSH the scale path. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        minCosine: Double, bruteForceMax: Long = 10000L): DataFrame = {
+                        minCosine: Double, bruteForceMax: Long = 10000L,
+                        numPlanes: Int = 16, numTables: Int = 4,
+                        seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
     // auto-routing probes with limit(max+1).count() — an eager action, but it
     // reads at most bruteForceMax+1 rows (the limit short-circuits the scan),
     // never the full input. Callers that already know their scale should call
@@ -318,12 +320,17 @@ object Dedup {
     if (probe <= bruteForceMax) bruteForceNearDups(df, idCol, vecCol, minCosine)
     else {
       // surface the exact→approximate switch: LSH drops hot buckets and can
-      // miss pairs, which must never be mistaken for the exact result
+      // miss pairs, which must never be mistaken for the exact result.
+      // numPlanes must keep 2^planes ≫ n/maxBucket or whole buckets exceed
+      // the cap and are dropped wholesale (measured: 8 planes at 10^6
+      // vectors = 256 buckets/table, EVERY bucket over the cap — recall
+      // collapsed to ~0); the 16-plane default holds to ~10^7 rows per
+      // table and larger corpora should raise it ~log2(n/1000)
       log.warn(
         s"embeddingNearDups: input exceeds bruteForceMax=$bruteForceMax rows; " +
-          "routing to APPROXIMATE sign-LSH (lshNearDups, hot buckets capped). " +
-          "Call bruteForceNearDups explicitly if exact pairs are required.")
-      lshNearDups(df, idCol, vecCol, minCosine)
+          s"routing to APPROXIMATE sign-LSH (numPlanes=$numPlanes, hot buckets " +
+          "capped). Call bruteForceNearDups explicitly if exact pairs are required.")
+      lshNearDups(df, idCol, vecCol, minCosine, numPlanes, numTables, seed, maxBucket)
     }
   }
 
@@ -384,8 +391,11 @@ object Dedup {
     * the clustering runs over the (pair-count-sized, ≪ corpus) edge list. */
   def semanticDedupClusters(df: DataFrame, idCol: String, vecCol: String,
                             minCosine: Double,
-                            bruteForceMax: Long = 10000L): DataFrame = {
-    val pairs = embeddingNearDups(df, idCol, vecCol, minCosine, bruteForceMax)
+                            bruteForceMax: Long = 10000L,
+                            numPlanes: Int = 16, numTables: Int = 4,
+                            seed: Long = 42L, maxBucket: Int = 1000): DataFrame = {
+    val pairs = embeddingNearDups(df, idCol, vecCol, minCosine, bruteForceMax,
+      numPlanes, numTables, seed, maxBucket)
     val cc = Components.connectedComponents(pairs, "id_a", "id_b")
     df.select(col(idCol).cast("long").as("id"))
       .join(cc, col("id") === col("node"), "left")
