@@ -436,6 +436,15 @@ object SparkEntry {
           col("ok_word_count"), col("ok_mean_word_len"),
           col("ok_stopwords"), col("ok_symbol_ratio"), col("keep"))),
 
+    // ---- END-TO-END corpus curation: lang → quality → exact dedup → fuzzy
+    //      dedup → decontaminate, with the per-stage attrition report as the
+    //      oracled output (each stage is an already-oracled operator) ----
+    "q_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      graft.table.Curation.curate(docs, "doc_id", "text", "lang", bench)._2
+    }),
+
     // ---- sampling: deterministic hash-keyed stratified sample (data-mixing
     //      weights per language; reproducible across engines and runs) ----
     "q_strat_sample" -> ((s, dir) =>
@@ -533,14 +542,15 @@ object SparkEntry {
       s"len(list_filter(string_split(text,' '), w -> w IN ($ws)))"
     }
     // MinHash-LSH pair CTE chain ending in `mpairs` (id_a, id_b, jaccard) —
-    // shared by q_minhash_lsh and the q_fuzzy_dedup clustering oracle.
-    // bok mirrors Spark's maxBucket=1000 hot-bucket cap (banded-LSH guard).
-    val minhashPairCtes: String = {
+    // shared by q_minhash_lsh, the q_fuzzy_dedup clustering oracle, and (via
+    // the `source` parameter) the q_curation fuzzy stage over its filtered
+    // survivor set. bok mirrors Spark's maxBucket=1000 hot-bucket cap.
+    def minhashPairCtesFrom(source: String): String = {
       val bandKeys = (0 until 4).map { bi =>
         val parts = (0 until 4).map(j => s"(${mh(bi * 4 + j)})::VARCHAR")
         s"SELECT id, toks, $bi band, concat_ws('_', ${parts.mkString(", ")}) bkey FROM sig"
       }.mkString(" UNION ALL ")
-      s"""ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+      s"""ts AS ($source),
          sig AS (SELECT id, toks, list_distinct($shSql) sh FROM ts WHERE len(toks) > 2),
          bands0 AS ($bandKeys),
          bok AS (SELECT band, bkey FROM bands0 GROUP BY 1, 2 HAVING count(*) <= 1000),
@@ -557,6 +567,8 @@ object SparkEntry {
          mpairs AS (SELECT id_a, id_b, round(shared / (n_a + n_b - shared), 6) AS jaccard
            FROM v WHERE shared / (n_a + n_b - shared) >= 0.5)"""
     }
+    val minhashPairCtes: String =
+      minhashPairCtesFrom(s"SELECT doc_id::BIGINT id, $tokSql toks FROM documents")
 
     Map(
       "q1_agg" ->
@@ -1025,6 +1037,49 @@ object SparkEntry {
         """SELECT doc_id,
            nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm
            FROM documents""",
+
+      "q_curation" ->
+        // stage-by-stage replica of Curation.curate: every CTE reuses the
+        // oracle fragment already pinned by the stage's own query
+        // (q_gopher_filter, q_dedup_keep_count, q_fuzzy_dedup,
+        // q_decontaminate)
+        s"""WITH RECURSIVE d0 AS (SELECT doc_id::BIGINT id, text, lang, $tokSql toks FROM documents),
+           s1 AS (SELECT * FROM d0 WHERE lang IN ('en','es')),
+           qf AS (SELECT *, len(string_split(text,' ')) nw,
+             (length(text) - (len(string_split(text,' ')) - 1))::DOUBLE
+               / len(string_split(text,' ')) ml,
+             len(list_filter(string_split(text,' '),
+               w -> w IN ('the','be','to','of','and','that','have','with'))) shits,
+             len(regexp_extract_all(text, '[#…]|\\.\\.\\.')) sy
+            FROM s1),
+           s2 AS (SELECT id, text, lang, toks FROM qf
+             WHERE nw BETWEEN 30 AND 100000 AND ml BETWEEN 3.0 AND 10.0
+               AND shits >= 1 AND sy::DOUBLE / nw <= 0.1),
+           s3 AS (SELECT * FROM s2 WHERE id IN (SELECT min(id) FROM s2 GROUP BY text)),
+           ${minhashPairCtesFrom("SELECT id, toks FROM s3")},
+           sym AS (SELECT id_a a, id_b b FROM mpairs
+                   UNION SELECT id_b, id_a FROM mpairs),
+           reach(node, label) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT sx.a, r.label FROM reach r JOIN sym sx ON sx.b = r.node),
+           cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+           s4 AS (SELECT s3.* FROM s3 LEFT JOIN cc ON cc.node = s3.id
+                  WHERE cc.component IS NULL OR cc.component = s3.id),
+           bsh AS (SELECT DISTINCT unnest(list_distinct($shSql)) s
+                   FROM (SELECT toks FROM d0 WHERE id % 97 = 0)
+                   WHERE len(toks) >= 3),
+           csh AS (SELECT id, unnest(list_distinct($shSql)) s
+                   FROM s4 WHERE len(toks) >= 3),
+           bad AS (SELECT id FROM csh JOIN bsh USING (s)
+                   GROUP BY id HAVING count(*) >= 3),
+           s5 AS (SELECT * FROM s4 WHERE id NOT IN (SELECT id FROM bad))
+           SELECT 'input' AS stage, 0 AS ord, (SELECT count(*) FROM d0)::BIGINT AS n_rows
+           UNION ALL SELECT 'lang_filter', 1, (SELECT count(*) FROM s1)
+           UNION ALL SELECT 'quality_filter', 2, (SELECT count(*) FROM s2)
+           UNION ALL SELECT 'exact_dedup', 3, (SELECT count(*) FROM s3)
+           UNION ALL SELECT 'fuzzy_dedup', 4, (SELECT count(*) FROM s4)
+           UNION ALL SELECT 'decontaminate', 5, (SELECT count(*) FROM s5)""",
 
       "q_pii_scan" ->
         // the injected-PII construction and the five RE2-clean patterns are

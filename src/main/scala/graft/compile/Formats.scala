@@ -167,12 +167,15 @@ object Formats {
     !badChar && !badEscape && !parenClash
   }
 
-  // idn-email: RFC6531 — the same grammar with Unicode letters/marks/digits
-  // admitted in the local atoms and domain labels (email.go:28-37).
+  // idn-email: the reference is net/mail's RFC6531-tolerant parse and NOTHING
+  // else — when idn=true there is no domain charset or shape check at all
+  // (email.go:102-116 runs only for !idn). net/mail's atom chars are exactly
+  // RFC5321 atext plus any non-ASCII rune, in LOCAL and DOMAIN alike, so a
+  // leading/trailing hyphen or a '!' in an idn domain parses ("a@-実例",
+  // "a@b!c.com" are valid idn-emails while plain email rejects both).
   private val idnAtext = "[\\p{L}\\p{M}\\p{N}!#$%&'*+/=?^_`{|}~-]+"
-  private val idnDomLabel = "[\\p{L}\\p{N}][\\p{M}]*(([\\p{L}\\p{M}\\p{N}-])*[\\p{L}\\p{N}][\\p{M}]*)?"
   private val idnEmailRe =
-    s"^($idnAtext(\\.$idnAtext)*|$quotedLocal)@($idnDomLabel(\\.$idnDomLabel)*|$addrLiteral)$$"
+    s"^($idnAtext(\\.$idnAtext)*|$quotedLocal)@($idnAtext(\\.$idnAtext)*|$addrLiteral)$$"
 
   // idn-hostname: Unicode labels with the RFC5892 contextual rules the
   // reference hand-checks (hostname.go:83-135): disallowed runes; U+00B7 only
