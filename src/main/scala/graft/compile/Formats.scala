@@ -41,15 +41,23 @@ object Formats {
       (s < 60 || leapSecondOk(c, h, m))
   }
 
-  /** ss==60 requires the local time minus offset to equal 23:59 (time.go:193-204). */
+  /** ss==60 leap-second rule — EXACT transcription of the reference's check
+    * (time.go:157-204), which is NOT a mod-1440 UTC test: for `Z` the local
+    * time must be literally 23:59; for a numeric offset the adjusted sums
+    * must satisfy `h±offH ∈ {23, 0}` AND `m±offM ∈ {59, -1}` independently
+    * (offsets negated for '+', kept for '-'). Consequences pinned by the
+    * conformance corpus: `00:59:60+01:00` is REJECTED (hour sum -1) even
+    * though its UTC instant is 23:59, while `23:00:60+00:01` (hour sum 23,
+    * minute sum -1 — UTC 22:59) is ACCEPTED. */
   private def leapSecondOk(c: Column, h: Column, m: Column): Column = {
     val z = upper(c).endsWith("Z")
-    val sign = when(c.rlike("[+]\\d{2}:\\d{2}$"), lit(1)).otherwise(lit(-1))
-    val offH = when(z, lit(0)).otherwise(regexp_extract(c, "[+-](\\d{2}):\\d{2}$", 1).cast("int") * sign)
-    val offM = when(z, lit(0)).otherwise(regexp_extract(c, "[+-]\\d{2}:(\\d{2})$", 1).cast("int") * sign)
-    val utcMin = (h * 60 + m) - (offH * 60 + offM)
-    // normalize into [0, 1440)
-    pmod(utcMin, lit(1440)) === lit(23 * 60 + 59)
+    val neg = c.rlike("[-]\\d{2}:\\d{2}$")
+    val offH = regexp_extract(c, "[+-](\\d{2}):\\d{2}$", 1).cast("int")
+    val offM = regexp_extract(c, "[+-]\\d{2}:(\\d{2})$", 1).cast("int")
+    val aH = h + when(neg, offH).otherwise(-offH)
+    val aM = m + when(neg, offM).otherwise(-offM)
+    when(z, h === 23 && m === 59)
+      .otherwise((aH === 23 || aH === 0) && (aM === 59 || aM === -1))
   }
 
   /** Duration — an EXACT transcription of the reference's hand-rolled

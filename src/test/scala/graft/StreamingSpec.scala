@@ -208,4 +208,32 @@ class StreamingSpec extends SparkSpec {
       assert(dups.toSeq === Seq(uuidA))
     } finally q.stop()
   }
+
+  test("stateless curation stages compose on a stream: quality flags + pii redaction") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // the same zero-shuffle map stages batch curation uses — quality flags,
+    // then redaction on the keepers — run unchanged on micro-batches
+    val flagged = graft.table.TextAnalysis.gopherQualityFlags(df, "text",
+      minWords = 6, minStopwordHits = 1)
+    val out = flagged.filter(col("keep"))
+      .select(col("doc_id"),
+        graft.table.TextAnalysis.piiRedact(col("text")).as("clean"))
+    val q = out.writeStream.format("memory").queryName("curated_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "the of and mail me at a@b.co for details today"),
+        (2L, "too short"),
+        (3L, "the and of word word word word word word"))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, clean from curated_stream")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 3L))
+      assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("a@b.co"))
+    } finally q.stop()
+  }
 }
