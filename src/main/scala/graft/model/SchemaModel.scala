@@ -127,7 +127,8 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
   private def fragmentIn(res: JValue, resBase: String, frag: String,
                          ref: String): (JValue, String) = frag match {
     case "" => (res, resBase)
-    case f if f.startsWith("/") => (SchemaParser.jsonPointer(res, f), resBase)
+    // pointer descent re-bases at embedded $id resources it crosses
+    case f if f.startsWith("/") => SchemaParser.jsonPointerWithBase(res, resBase, f)
     case a => scopedAnchors.get((resBase, a)).orElse(anchors.get(a))
       // a $dynamicAnchor also creates a plain anchor for non-dynamic $refs
       .orElse(scopedDynAnchors.get((resBase, a))).orElse(dynamicAnchors.get(a))
@@ -472,17 +473,42 @@ object SchemaParser {
     AllOfK(Vector(ObjSchema(Vector(a)), ObjSchema(Vector(b))))
 
   /** RFC6901 JSON-Pointer over a JValue (mirrors pkg/jsonpointer). */
-  def jsonPointer(root: JValue, pointer: String): JValue = {
-    if (pointer.isEmpty) return root
-    require(pointer.startsWith("/"), s"bad pointer: $pointer")
-    pointer.drop(1).split("/", -1).foldLeft(root) { (cur, rawTok) =>
-      val tok = rawTok.replace("~1", "/").replace("~0", "~")
-      cur match {
-        case o: JObject => o.obj.collectFirst { case (k, v) if k == tok => v }
-          .getOrElse(throw new IllegalArgumentException(s"pointer $pointer: no key '$tok'"))
-        case JArray(items) => items(tok.toInt)
-        case other => throw new IllegalArgumentException(s"pointer $pointer into non-container $other")
+  def jsonPointer(root: JValue, pointer: String): JValue =
+    jsonPointerWithBase(root, "", pointer)._1
+
+  /** JSON-pointer dereference that TRACKS `$id` re-basing along the descent:
+    * a pointer crossing an embedded-resource boundary (a subschema whose
+    * `$id` is e.g. a relative folder, the official suite's baseUriChange
+    * shape) must hand back that resource's base, or relative `$ref`s inside
+    * the target resolve against the outer document (the reference's
+    * resolveIDs walk assigns every subschema its in-scope base,
+    * builder.go:149-224). Only a JString `$id` on a traversed object
+    * re-bases, so non-schema containers (a property literally named "$id"
+    * maps to an object, not a string) cannot corrupt the base. */
+  private[graft] def jsonPointerWithBase(root: JValue, base0: String,
+                                         pointer: String): (JValue, String) = {
+    def baseAt(v: JValue, base: String): String = v match {
+      case o: JObject => o \ "$id" match {
+        case JString(id) => resolveUri(base, stripFragment(id))
+        case _ => base
       }
+      case _ => base
+    }
+    // the entry node's own $id is already reflected in base0 (the caller
+    // resolved the resource URI) — only DESCENDED nodes re-base, else a
+    // relative root $id would resolve against itself twice
+    if (pointer.isEmpty) return (root, base0)
+    require(pointer.startsWith("/"), s"bad pointer: $pointer")
+    pointer.drop(1).split("/", -1).foldLeft((root, base0)) {
+      case ((cur, base), rawTok) =>
+        val tok = rawTok.replace("~1", "/").replace("~0", "~")
+        val next = cur match {
+          case o: JObject => o.obj.collectFirst { case (k, v) if k == tok => v }
+            .getOrElse(throw new IllegalArgumentException(s"pointer $pointer: no key '$tok'"))
+          case JArray(items) => items(tok.toInt)
+          case other => throw new IllegalArgumentException(s"pointer $pointer into non-container $other")
+        }
+        (next, baseAt(next, base))
     }
   }
 }
