@@ -60,9 +60,6 @@ object ConstraintCompiler {
     Compiled(pred, when(pred, emptyViolations)
       .otherwise(mkViolation(keyword, kwLoc, instLoc, msg)))
 
-  private def tryCastDouble(c: Column): Column =
-    GraftSql.toColumn(Cast(GraftSql.toExpression(c), DoubleType, None, EvalMode.TRY))
-
   /** @param dynScope the stack of (owning document, resource base URI)
     *        entered so far — compile-time inlining follows the same traversal
     *        as runtime validation, so this IS the spec's dynamic scope for
@@ -658,14 +655,24 @@ object ConstraintCompiler {
     def loc(name: String) = s"$kwLoc/$name"
 
     /** numeric keyword: applies to numeric instances, and — reference quirk
-      * (validator.go:1275-1281) — to strings that parse as floats. */
+      * (validator.go:1275-1281) — to strings that parse as floats, under
+      * Go's EXACT ParseFloat acceptance (GoParseFloat): no whitespace trim,
+      * no Java suffixes, overflow = unparseable, signed inf / unsigned nan
+      * specials. Spark's CAST disagrees on all four. */
     def numericPred(f: Column => Column): Option[Column] = dt match {
       case _: NumericType => Some(target.isNull || f(target.cast(DoubleType)))
       case StringType =>
-        val d = tryCastDouble(target)
+        val d = NumericExprs.goParseFloat(target)
         Some(target.isNull || d.isNull || f(d))
       case _ => None
     }
+    /** Go float comparisons are totally silent on NaN — `NaN < x`, `NaN > x`,
+      * `NaN <= x`, `NaN >= x` are all false, so every bound keyword PASSES a
+      * NaN instance (validator.go:915-970 error conditions never fire).
+      * Spark SQL instead ORDERS NaN above every double, which would fail
+      * maximum/exclusiveMaximum — guard explicitly. */
+    def nanPasses(f: Column => Column): Column => Column =
+      d => isnan(d) || f(d)
     def stringPred(f: Column => Column): Option[Column] = dt match {
       case StringType => Some(target.isNull || f(target))
       case _ => None
@@ -712,15 +719,15 @@ object ConstraintCompiler {
           else target.isNull || jvEq(target, dt, v)
         Some(simple(pred, "const", loc("const"), instLoc, lit("value does not equal const")))
 
-      case MinimumK(v) => numericPred(_ >= lit(v)).map(p =>
+      case MinimumK(v) => numericPred(nanPasses(_ >= lit(v))).map(p =>
         // message wording mirrors the reference's copy-paste quirk (:951)
         simple(p, "minimum", loc("minimum"), instLoc, lit(s"value is larger than minimum $v")))
-      case MaximumK(v) => numericPred(_ <= lit(v)).map(p =>
+      case MaximumK(v) => numericPred(nanPasses(_ <= lit(v))).map(p =>
         simple(p, "maximum", loc("maximum"), instLoc, lit(s"value is larger than maximum $v")))
-      case ExclusiveMinimumK(v) => numericPred(_ > lit(v)).map(p =>
+      case ExclusiveMinimumK(v) => numericPred(nanPasses(_ > lit(v))).map(p =>
         simple(p, "exclusiveMinimum", loc("exclusiveMinimum"), instLoc,
           lit(s"value is not larger than exclusive minimum $v")))
-      case ExclusiveMaximumK(v) => numericPred(_ < lit(v)).map(p =>
+      case ExclusiveMaximumK(v) => numericPred(nanPasses(_ < lit(v))).map(p =>
         simple(p, "exclusiveMaximum", loc("exclusiveMaximum"), instLoc,
           lit(s"value is not smaller than exclusive maximum $v")))
       case MultipleOfK(v) => numericPred(d => NumericExprs.isIntegral(d / lit(v))).map(p =>
