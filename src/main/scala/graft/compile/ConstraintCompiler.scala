@@ -206,7 +206,7 @@ object ConstraintCompiler {
           case PropertiesK(props) => always(props.map(_._1).filter(names.contains))
           case PatternPropertiesK(pats) =>
             always(pats.flatMap { case (p, _) =>
-              val re = java.util.regex.Pattern.compile(p)
+              val re = java.util.regex.Pattern.compile(RegexDialect.toJava(p))
               names.filter(n => re.matcher(n).find())
             })
           case _: AdditionalPropertiesK | _: UnevaluatedPropertiesK => always(names)
@@ -310,7 +310,8 @@ object ConstraintCompiler {
           Seq((k: Column) => k.isin(props.map(_._1): _*))
         case PatternPropertiesK(pats) if pats.nonEmpty =>
           Seq((k: Column) =>
-            pats.map(_._1).foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
+            pats.map(_._1).foldLeft(lit(false))((acc, p) =>
+              acc || k.rlike(RegexDialect.toJava(p))))
         case _: AdditionalPropertiesK | _: UnevaluatedPropertiesK =>
           Seq((_: Column) => lit(true))
         case AllOfK(ss) => ss.map(branch)
@@ -575,7 +576,7 @@ object ConstraintCompiler {
           } // absent field → property not present → valid (skip)
         }
         val patChecks = pats.flatMap { case (pat, sub) =>
-          val re = java.util.regex.Pattern.compile(pat)
+          val re = java.util.regex.Pattern.compile(RegexDialect.toJava(pat))
           fieldNames.filter(n => re.matcher(n).find()).map { n =>
             val fdt = st.fields.find(_.name == n).get.dataType
             compileNode(sub, ctx.descend, target.getField(n), fdt,
@@ -585,7 +586,8 @@ object ConstraintCompiler {
         }
         val addChecks = addPropsK.toSeq.flatMap { ap =>
           val covered = props.map(_._1).toSet
-          val patRes = pats.map(p => java.util.regex.Pattern.compile(p._1))
+          val patRes = pats.map(p =>
+            java.util.regex.Pattern.compile(RegexDialect.toJava(p._1)))
           val uncovered = fieldNames.filterNot(n =>
             covered(n) || patRes.exists(_.matcher(n).find()))
           uncovered.map { n =>
@@ -618,7 +620,8 @@ object ConstraintCompiler {
         }
         val patChecks = patPropsK.toSeq.flatMap(_.pats).map { case (pat, sub) =>
           val badKeys = filter(map_keys(target), k =>
-            k.rlike(pat) && !compileNode(sub, ctx.descend, element_at(target, k), vt,
+            k.rlike(RegexDialect.toJava(pat)) &&
+              !compileNode(sub, ctx.descend, element_at(target, k), vt,
               s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc).valid)
           simple(size(badKeys) === 0, "patternProperties",
             s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc,
@@ -629,7 +632,8 @@ object ConstraintCompiler {
           val covered = props.map(_._1)
           val pats = patPropsK.map(_.pats.map(_._1)).getOrElse(Vector.empty)
           val uncoveredKeys = filter(map_keys(target), k =>
-            !k.isin(covered: _*) && !pats.foldLeft(lit(false))((acc, p) => acc || k.rlike(p)))
+            !k.isin(covered: _*) && !pats.foldLeft(lit(false))((acc, p) =>
+              acc || k.rlike(RegexDialect.toJava(p))))
           val badKeys = filter(uncoveredKeys, k =>
             !compileNode(ap.schema, ctx.descend, element_at(target, k), vt,
               s"$kwLoc/additionalProperties", instLoc).valid)
@@ -670,9 +674,13 @@ object ConstraintCompiler {
       * `NaN <= x`, `NaN >= x` are all false, so every bound keyword PASSES a
       * NaN instance (validator.go:915-970 error conditions never fire).
       * Spark SQL instead ORDERS NaN above every double, which would fail
-      * maximum/exclusiveMaximum — guard explicitly. */
-    def nanPasses(f: Column => Column): Column => Column =
-      d => isnan(d) || f(d)
+      * maximum/exclusiveMaximum — guard explicitly, but only on types that
+      * can carry NaN (float/double columns, Go-parsed strings); integral
+      * and decimal columns skip the check on the hot path. */
+    def nanPasses(f: Column => Column): Column => Column = dt match {
+      case DoubleType | FloatType | StringType => d => isnan(d) || f(d)
+      case _ => f
+    }
     def stringPred(f: Column => Column): Option[Column] = dt match {
       case StringType => Some(target.isNull || f(target))
       case _ => None
@@ -739,9 +747,11 @@ object ConstraintCompiler {
         simple(p, "maxLength", loc("maxLength"), instLoc, lit(s"length is greater than $n")))
       case PatternK(pat) =>
         // compile-time regex validity check (reference compiles per call,
-        // validator.go:1008 — ours compiles once)
-        java.util.regex.Pattern.compile(pat)
-        stringPred(_.rlike(pat)).map(p =>
+        // validator.go:1008 — ours compiles once, after translating RE2-only
+        // syntax Java lacks: (?P<name>, POSIX [[:class:]])
+        val javaPat = RegexDialect.toJava(pat)
+        java.util.regex.Pattern.compile(javaPat)
+        stringPred(_.rlike(javaPat)).map(p =>
           simple(p, "pattern", loc("pattern"), instLoc, lit(s"value does not match pattern")))
       case FormatK(f) if ctx.opts.validateFormat =>
         graft.compile.Formats.predicate(f).flatMap(fp => stringPred(fp).map(p =>
@@ -966,7 +976,7 @@ object ConstraintCompiler {
       case TypeK(ts) => ts.contains("string")
       case PatternK(p) =>
         RegexDialect.check(p, "propertyNames/pattern", ctx.opts.regexPolicy)
-        java.util.regex.Pattern.compile(p).matcher(name).find()
+        java.util.regex.Pattern.compile(RegexDialect.toJava(p)).matcher(name).find()
       case MinLengthK(n) => name.codePointCount(0, name.length) >= n
       case MaxLengthK(n) => name.codePointCount(0, name.length) <= n
       case EnumK(vs) => vs.contains(JString(name))

@@ -217,8 +217,11 @@ object Formats {
     * Java-only escapes outside the scanner's list still pass. */
   private lazy val regexValid =
     udf { s: String =>
-      s == null || ((try { java.util.regex.Pattern.compile(s); true }
-                     catch { case _: Exception => false }) &&
+      // translate RE2-only syntax first so patterns Go accepts but Java
+      // rejects ((?P<name>, POSIX [[:class:]]) judge VALID here too
+      s == null || ((try {
+        java.util.regex.Pattern.compile(graft.compile.RegexDialect.toJava(s)); true
+      } catch { case _: Exception => false }) &&
                     graft.compile.RegexDialect.isRe2Compatible(s))
     }
 

@@ -99,6 +99,69 @@ object RegexDialect {
 
   def isRe2Compatible(pattern: String): Boolean = re2Incompatibilities(pattern).isEmpty
 
+  /** RE2 POSIX class name → Java `\p{...}` name (both are US-ASCII-only
+    * definitions, so the translation is semantics-preserving). `word` has no
+    * Java `\p` name and maps to `\w`/`\W` instead. */
+  private val posixClasses = Map(
+    "alnum" -> "Alnum", "alpha" -> "Alpha", "ascii" -> "ASCII",
+    "blank" -> "Blank", "cntrl" -> "Cntrl", "digit" -> "Digit",
+    "graph" -> "Graph", "lower" -> "Lower", "print" -> "Print",
+    "punct" -> "Punct", "space" -> "Space", "upper" -> "Upper",
+    "xdigit" -> "XDigit")
+
+  /** Rewrites RE2-only syntax that Java's `Pattern` rejects or silently
+    * MISPARSES into the Java equivalent, so reference-legal schemas compile
+    * and match identically here:
+    *   - `(?P<name>...)` (RE2/Python named group, `regexp/syntax` Perl
+    *     flavor) → `(?:...)`. Validation only ever MATCHES — group names are
+    *     never read back — and Java's stricter group-name charset
+    *     (`[a-zA-Z][a-zA-Z0-9]*`) would reject names RE2 allows, so the
+    *     non-capturing form is the faithful translation.
+    *   - POSIX classes inside brackets: `[[:alpha:]]` → `[\p{Alpha}]`,
+    *     `[[:^digit:]]` → `[\P{Digit}]`. Java has no POSIX bracket syntax
+    *     and would misparse the characters literally (no error — silently
+    *     wrong matches).
+    * Everything else passes through untouched. */
+  def toJava(pattern: String): String = {
+    val sb = new StringBuilder(pattern.length + 8)
+    var i = 0
+    var inClass = false
+    val n = pattern.length
+    while (i < n) {
+      val c = pattern.charAt(i)
+      if (c == '\\' && i + 1 < n) { sb.append(c).append(pattern.charAt(i + 1)); i += 2 }
+      else if (!inClass && c == '[') {
+        inClass = true
+        sb.append(c); i += 1
+        // leading '^' and a literal ']' immediately after stay verbatim
+        if (i < n && pattern.charAt(i) == '^') { sb.append('^'); i += 1 }
+        if (i < n && pattern.charAt(i) == ']') { sb.append(']'); i += 1 }
+      }
+      else if (inClass && c == '[' && i + 1 < n && pattern.charAt(i + 1) == ':') {
+        val end = pattern.indexOf(":]", i + 2)
+        val name0 = if (end < 0) "" else pattern.substring(i + 2, end)
+        val neg = name0.startsWith("^")
+        val name = if (neg) name0.substring(1) else name0
+        if (end < 0) { sb.append(c); i += 1 }
+        else if (name == "word") { sb.append(if (neg) "\\W" else "\\w"); i = end + 2 }
+        else posixClasses.get(name) match {
+          case Some(j) =>
+            sb.append(if (neg) "\\P{" else "\\p{").append(j).append('}'); i = end + 2
+          case None => sb.append(pattern.substring(i, end + 2)); i = end + 2
+        }
+      }
+      else if (inClass && c == ']') { inClass = false; sb.append(c); i += 1 }
+      else if (!inClass && c == '(' && pattern.regionMatches(i, "(?P<", 0, 4)) {
+        // find the closing '>' of the name; emit a non-capturing group
+        val gt = pattern.indexOf('>', i + 4)
+        if (gt < 0) { sb.append(c); i += 1 }
+        else { sb.append("(?:"); i = gt + 1 }
+      }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Compile-time gate: throws (Re2Strict, the default — matching the
     * reference's Go `regexp.Compile` rejection) or passes silently
     * (JavaSuperset opt-in). `where` names the keyword site for the error. */

@@ -101,4 +101,37 @@ class RegexDialectCompileSpec extends SparkSpec {
     val ok = df.filter(RowValidator.validColumn(df, schema)).as[String].collect().toSet
     assert(ok === Set("^[a-z]+$"))
   }
+
+  test("toJava translates RE2-only syntax Java rejects or misparses") {
+    import RegexDialect.toJava
+    // (?P<name>...) named groups -> non-capturing (match-only semantics)
+    assert(toJava("(?P<word>[a-z]+)-(?P<num>\\d+)") === "(?:[a-z]+)-(?:\\d+)")
+    // Java-style named groups and everything else pass through
+    assert(toJava("(?<name>ab)+x") === "(?<name>ab)+x")
+    // POSIX classes inside brackets -> \p{...}; negation -> \P{...}
+    assert(toJava("[[:alpha:]]+") === "[\\p{Alpha}]+")
+    assert(toJava("[[:^digit:]_]") === "[\\P{Digit}_]")
+    assert(toJava("[a[:space:]z]") === "[a\\p{Space}z]")
+    assert(toJava("[[:word:]]") === "[\\w]")
+    // escapes and literal brackets survive untouched
+    assert(toJava("\\[\\(?P<x>") === "\\[\\(?P<x>")
+    assert(toJava("[][:alpha:]]") === "[]\\p{Alpha}]")
+    // the translated POSIX form compiles and matches in Java
+    val re = java.util.regex.Pattern.compile(toJava("^[[:alpha:][:digit:]]+$"))
+    assert(re.matcher("abc123").matches() && !re.matcher("a b").matches())
+  }
+
+  test("reference-legal RE2 patterns validate identically after translation") {
+    // the reference compiles these with regexp.Compile (validator.go:1008);
+    // Java would throw on (?P< and silently misparse [[:digit:]]
+    val df2 = Seq("abc-123", "abc-x", "ABC-123").toDF("value")
+    val schemaCol = """{"type": "string", "pattern": "^(?P<word>[a-z]+)-[[:digit:]]+$"}"""
+    val ok2 = df2.filter(RowValidator.validColumn(df2, schemaCol)).as[String].collect().toSet
+    assert(ok2 === Set("abc-123"))
+    // format:regex judges RE2-only syntax VALID (Go parses it)
+    val fmt = """{"type": "string", "format": "regex"}"""
+    val df3 = Seq("(?P<x>a)", "[[:alpha:]]", "(a)\\1").toDF("value")
+    val ok3 = df3.filter(RowValidator.validColumn(df3, fmt)).as[String].collect().toSet
+    assert(ok3 === Set("(?P<x>a)", "[[:alpha:]]"))
+  }
 }
