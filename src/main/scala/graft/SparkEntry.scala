@@ -411,6 +411,16 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.normalize(col("text")).as("norm"))),
 
+    // ---- text analysis: CCNet-style corpus-LM quality score — per-doc mean
+    //      negative log-likelihood under the corpus-trained unigram model ----
+    "q_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLmScore(t(s, dir, "documents"), "doc_id", "text")),
+
+    // ---- text analysis: TF-IDF top-k keyword tags per document
+    //      (deterministic tie-break: rounded score desc, token asc) ----
+    "q_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(t(s, dir, "documents"), "doc_id", "text", k = 3)),
+
     // ---- text analysis: PII scan + redaction. The synthetic corpus is
     //      clean, so known PII is injected deterministically (doc_id-keyed)
     //      in BOTH engines; the scan counts per category and the redacted
@@ -1037,6 +1047,33 @@ object SparkEntry {
         """SELECT doc_id,
            nfc_normalize(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS norm
            FROM documents""",
+
+      "q_unigram_lm" ->
+        """WITH toks0 AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           tk AS (SELECT doc_id, tok FROM toks0 WHERE len(tok) > 0),
+           vocab AS (SELECT tok, count(*)::BIGINT AS cnt FROM tk GROUP BY 1),
+           tot AS (SELECT sum(cnt)::DOUBLE AS tot FROM vocab)
+           SELECT doc_id,
+             round(ln((SELECT tot FROM tot)) - avg(ln(cnt::DOUBLE)), 6) AS nll,
+             count(*)::BIGINT AS n_tok
+           FROM tk JOIN vocab USING (tok)
+           GROUP BY doc_id""",
+
+      "q_tfidf_topk" ->
+        """WITH toks0 AS (
+             SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           tk AS (SELECT doc_id, tok FROM toks0 WHERE len(tok) > 0),
+           tfreq AS (SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tk GROUP BY 1, 2),
+           dfreq AS (SELECT tok, count(*)::BIGINT AS df FROM tfreq GROUP BY 1),
+           nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tfreq),
+           scored AS (
+             SELECT tfreq.doc_id, tfreq.tok, tfreq.tf,
+               round(tfreq.tf::DOUBLE * ln((SELECT n_docs FROM nd) / dfreq.df::DOUBLE), 6) AS tfidf
+             FROM tfreq JOIN dfreq USING (tok)),
+           ranked AS (SELECT *, row_number() OVER (
+             PARTITION BY doc_id ORDER BY tfidf DESC, tok ASC) AS rk FROM scored)
+           SELECT doc_id, tok, tf, tfidf, rk FROM ranked WHERE rk <= 3""",
 
       "q_curation" ->
         // stage-by-stage replica of Curation.curate: every CTE reuses the

@@ -207,4 +207,69 @@ object TextAnalysis {
       .withColumn("hot_coverage",
         col("hot_hits").cast("double") / col("n_sh").cast("double"))
   }
+
+  /** CCNet-style (Wenzek et al. 2020 §4.4) corpus-LM quality score: a
+    * unigram language model is trained ON THE CORPUS ITSELF (token → MLE
+    * probability count/total) and every document is scored by its mean
+    * negative log-likelihood `avg(-ln p(tok))` — low = typical prose under
+    * the corpus distribution, high = rare-token outliers (CCNet buckets its
+    * corpus into head/middle/tail by exactly this statistic; here the LM is
+    * self-trained instead of Wikipedia-trained, so no external model ships).
+    *
+    * Scale shape — two passes, matching CCNet's train-then-score split:
+    * (1) vocabulary counts are a map-side-combined groupBy collapsing the
+    * token stream to |vocab| rows before any wide exchange; (2) scoring
+    * joins (id, token) pairs against the vocabulary — AQE picks a broadcast
+    * while the vocab fits, shuffle-hash beyond — and re-aggregates per
+    * document. The document payload never shuffles: only (id, token) pairs
+    * enter the scoring exchange, and the total-token count rides along as a
+    * broadcast single-row cross join (no eager action). `nll` is rounded to
+    * 6dp: ln(total) − avg(ln(cnt)) keeps the aggregation order-insensitive
+    * at that precision. */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").cast("double").as("tot"))
+    toks.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(round(log(first(col("tot"))) - avg(log(col("cnt").cast("double"))), 6)
+          .as("nll"),
+        count(lit(1)).as("n_tok"))
+  }
+
+  /** TF-IDF top-k terms per document: tf = in-document term count,
+    * idf = ln(n_docs / doc_freq), deterministic tie-break (rounded score
+    * desc, then token asc) so the ranking is engine-portable. The per-doc
+    * keyword tags a curation pipeline clusters or routes on.
+    *
+    * Scale shape: (id, token) term frequencies and the |vocab|-row document
+    * frequencies are both map-side-combined aggregations; the corpus doc
+    * count rides along as a broadcast single-row cross join; the top-k is a
+    * window over tf-level rows partitioned by document — raw text never
+    * shuffles, and no per-doc buffer exceeds its distinct-token count.
+    * Scores are rounded to 6dp BEFORE ranking so cross-engine float noise
+    * cannot reorder ties. */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+        explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val tf = toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = tf.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(docFreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(col("n_docs") / col("df").cast("double")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("tok"), col("tf"), col("tfidf"), col("rk"))
+  }
 }
