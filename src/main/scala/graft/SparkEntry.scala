@@ -3,7 +3,7 @@ package graft
 import graft.model.SchemaParser
 import graft.row.RowValidator
 import graft.table.{Dedup, Sampling, Similarity, TableChecks, TextAnalysis}
-import graft.tokens.TokenSeqs
+import graft.tokens.{Packing, TokenSeqs}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -473,6 +473,29 @@ object SparkEntry {
         Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
         .groupBy("source")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))),
+
+    // ---- training-sequence shaping: sliding-window chunking of long docs
+    //      into fixed-length windows (map-side explode, zero shuffles) ----
+    "q_chunk_split" -> ((s, dir) =>
+      Packing.chunkSequences(tokenSeqs(s, dir), seqLen = 128, stride = 96)),
+
+    // ---- training-sequence shaping: GPT-style concat-then-cut pack
+    //      assignments (per-source streams in doc_id order, one EOS slot per
+    //      doc; per-stream window sum — no global ordering anywhere) ----
+    "q_pack_assign" -> ((s, dir) =>
+      Packing.packAssignments(tokenSeqs(s, dir), seqLen = 256)),
+
+    // ---- training-sequence shaping: materialized packed sequences with an
+    //      explicit EOS separator (vocab < 4096 ⇒ eos = 4096); every group
+    //      aggregation buffer is bounded by seqLen tokens ----
+    "q_packed_seqs" -> ((s, dir) =>
+      Packing.packedSequences(tokenSeqs(s, dir), seqLen = 256, eosId = 4096)),
+
+    // ---- training-sequence shaping: deterministic shard + intra-shard
+    //      position from the rolling content fingerprint (reproducible
+    //      corpus shuffle without a global sort) ----
+    "q_shard_order" -> ((s, dir) =>
+      Packing.shardOrder(tokenSeqs(s, dir), numShards = 8)),
 
     // ---- multimodal plumbing: opaque binary payload + metadata extraction
     //      (graft.table.Multimodal; codecs stubbed, schema/batching real) ----
@@ -1212,6 +1235,58 @@ object SparkEntry {
                    < trunc(f * 1e6)::BIGINT)
            SELECT source, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
            FROM kept GROUP BY 1""",
+
+      // Training-sequence shaping. All four reuse the canonical tokenizer
+      // (tokSql); stream order is lexicographic doc_id::VARCHAR on both sides.
+      "q_chunk_split" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks FROM documents),
+           n AS (SELECT doc_id, toks, len(toks) n FROM ts WHERE len(toks) > 0),
+           c AS (SELECT doc_id, toks, n,
+                   CASE WHEN n <= 128 THEN 1 ELSE 1 + (n - 128 + 96 - 1) // 96 END nch
+                 FROM n),
+           g AS (SELECT doc_id, toks, n, unnest(generate_series(0, nch - 1)) AS g FROM c)
+           SELECT doc_id, g::INT AS chunk_idx,
+                  toks[g*96+1 : least(g*96+128, n)] AS chunk_tokens,
+                  (least(g*96+128, n) - g*96)::INT AS chunk_len
+           FROM g""",
+
+      "q_pack_assign" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, source, len($tokSql)::BIGINT n
+                        FROM documents),
+           w AS (SELECT *, (sum(n + 1) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - (n + 1))::BIGINT AS s FROM ts),
+           e AS (SELECT *, unnest(generate_series(s // 256, (s + n) // 256)) AS g FROM w)
+           SELECT source, doc_id, g AS seq_id,
+                  greatest(0, g*256 - s)::BIGINT AS tok_begin,
+                  least(n, (g+1)*256 - s)::BIGINT AS tok_end,
+                  greatest(0, s - g*256)::BIGINT AS seq_off
+           FROM e
+           WHERE least(n, (g+1)*256 - s) > greatest(0, g*256 - s)""",
+
+      "q_packed_seqs" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, source, $tokSql toks FROM documents),
+           s AS (SELECT source,
+                   flatten(list(list_append(toks, 4096::INT) ORDER BY doc_id)) stream
+                 FROM ts GROUP BY source),
+           x AS (SELECT source, stream, len(stream)::BIGINT sl FROM s),
+           g AS (SELECT source, stream, sl,
+                   unnest(generate_series(0, (sl - 1) // 256)) AS g FROM x)
+           SELECT source, g AS seq_id,
+                  stream[g*256+1 : least((g+1)*256, sl)] AS packed,
+                  (least((g+1)*256, sl) - g*256)::BIGINT AS n_filled
+           FROM g""",
+
+      "q_shard_order" -> {
+        val pows = (0 until 8).map(i => math.pow(31.0, i).toLong).mkString("[", ",", "]")
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks FROM documents),
+           fp AS (SELECT doc_id,
+             (((list_sum(list_transform(range(1, len(toks)+1),
+               i -> toks[i]::BIGINT * ($pows::BIGINT[])[((i-1) % 8) + 1])) % $P) + $P) % $P)::BIGINT AS fp
+             FROM ts)
+           SELECT doc_id, (fp % 8)::BIGINT AS shard,
+                  (row_number() OVER (PARTITION BY fp % 8 ORDER BY fp, doc_id) - 1)::BIGINT AS pos
+           FROM fp"""
+      },
 
       "q_multimodal_meta" ->
         """SELECT doc_id, octet_length(encode(text))::BIGINT AS byte_len,
