@@ -18,7 +18,8 @@ object PlanAudit {
       "q_ann_topk", "q_minhash_lsh", "q_row_violations", "q_window_bucket",
       "q_tdigest_ntok", "q_json_ingest", "q_containment", "q_hot_shingles",
       "q_fuzzy_dedup", "q_snapshot_diff", "q_para_dedup",
-      "q_pii_scan", "q_gopher_filter", "q_semantic_dedup")
+      "q_pii_scan", "q_gopher_filter", "q_semantic_dedup",
+      "q_chunk_split", "q_pack_assign", "q_packed_seqs", "q_shard_order")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute first: under AQE the pre-execution plan is the INITIAL one,

@@ -128,34 +128,36 @@ object Packing {
                       idCol: String = "doc_id",
                       tokensCol: String = "tokens",
                       buckets: Int = 1): DataFrame = {
+    // Pieces are built IN the window projection (no join-back by id): the
+    // payload crosses exactly ONE exchange — the window's hash partitioning
+    // on the stream columns — and the final groupBy(stream, seq_id) reuses
+    // that partitioning (HashPartitioning(stream) satisfies
+    // ClusteredDistribution(stream, seq_id)), so no second payload shuffle.
     val streams = streamNames(groupCols, buckets)
-    val withN = df.withColumn("_n_", size(col(tokensCol)))
-    val asg = packAssignments(withN, seqLen, groupCols, idCol, "_n_",
-      eosTokens = 1, buckets = buckets)
-    // token-span pieces: (stream, seq_id, seq_off, tokens[tok_begin, tok_end)).
-    // The join key is the doc id alone (stream identity is a function of the
-    // doc row); only the slice survives, so full token arrays never shuffle
-    // more than once.
-    val spanPieces = asg
-      .join(df.select(col(idCol), col(tokensCol)).as("d"),
-        asg(idCol) === col(s"d.$idCol"))
-      .select((streams.map(cn => asg(cn)) :+ col("seq_id") :+ col("seq_off") :+
-        slice(col(s"d.$tokensCol"), (col("tok_begin") + 1).cast("int"),
-          (col("tok_end") - col("tok_begin")).cast("int")).as("piece")): _*)
-    // EOS pieces: one per doc at stream position start + n
     val sc = streamCols(groupCols, idCol, buckets)
     val w = Window.partitionBy(sc: _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val n = col("_n_").cast("long")
+    val n = size(col(tokensCol)).cast("long")
     val L = lit(seqLen.toLong)
-    val eosPos = sum(n + 1).over(w) - 1
-    val eosPieces = withN
-      .select((sc :+ col(idCol) :+ eosPos.as("_p")): _*)
-      .select((streams.map(col) :+ floor(col("_p") / L).as("seq_id") :+
-        (col("_p") - floor(col("_p") / L) * L).as("seq_off") :+
-        array(lit(eosId)).as("piece")): _*)
-    spanPieces
-      .unionByName(eosPieces)
+    val withStart = df
+      .select((sc :+ col(idCol) :+ col(tokensCol) :+ n.as("_n")): _*)
+      .withColumn("_start", sum(col("_n") + 1).over(w) - (col("_n") + 1))
+    // one row per (doc, sequence it touches); the doc's last sequence also
+    // carries the EOS separator. tb/te mirror packAssignments' span math.
+    val s1 = floor((col("_start") + col("_n")) / L)
+    val tb = greatest(lit(0L), col("seq_id") * L - col("_start"))
+    val te = least(col("_n"), (col("seq_id") + 1) * L - col("_start"))
+    val pieces = withStart
+      .select((streams.map(col) :+ col(tokensCol) :+ col("_n") :+ col("_start") :+
+        explode(sequence(floor(col("_start") / L), s1)).as("seq_id")): _*)
+      .select((streams.map(col) :+ col("seq_id") :+
+        greatest(lit(0L), col("_start") - col("seq_id") * L).as("seq_off") :+
+        concat(
+          slice(col(tokensCol), (tb + 1).cast("int"),
+            greatest(te - tb, lit(0L)).cast("int")),
+          when(col("seq_id") === s1, array(lit(eosId)))
+            .otherwise(array().cast("array<int>"))).as("piece")): _*)
+    pieces
       .groupBy((streams.map(col) :+ col("seq_id")): _*)
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("seq_off"), col("piece")))),

@@ -236,4 +236,25 @@ class StreamingSpec extends SparkSpec {
       assert(rows(1L).contains("<EMAIL>") && !rows(1L).contains("a@b.co"))
     } finally q.stop()
   }
+
+  test("stateless sequence chunking runs unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Seq[Int])]
+    val df = input.toDF().toDF("doc_id", "tokens")
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+    // chunking is filter + explode + slice — no state, no watermark needed
+    val out = graft.tokens.Packing.chunkSequences(df, seqLen = 4, stride = 4)
+    val q = out.writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", 1 to 10), ("b", Seq.empty[Int]))
+      q.processAllAvailable()
+      input.addData(("c", 1 to 4))
+      q.processAllAvailable()
+      val rows = spark.sql("select doc_id, chunk_idx, chunk_len from chunk_stream")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+      assert(rows.toSet === Set(("a", 0, 4), ("a", 1, 4), ("a", 2, 2), ("c", 0, 4)))
+    } finally q.stop()
+  }
 }
