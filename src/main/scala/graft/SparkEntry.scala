@@ -225,6 +225,35 @@ object SparkEntry {
         col("violation_count"), col("verdict"))
     }),
 
+    // ---- skew diagnosis: Misra-Gries candidates + exact second pass ----
+    "q_heavy_hitters" -> ((s, dir) =>
+      TableChecks.heavyHitters(t(s, dir, "events"), "user_id", minShare = 0.008)
+        .withColumn("share", round(col("share"), 6))),
+
+    // ---- incremental snapshot revalidation: two appends validated as
+    //      deltas, merged sketch state reproducing the FULL-table manifest
+    //      (same oracle formula as q_partition_verdicts — the point: the
+    //      second run never rescans the first snapshot's payload) ----
+    "q_incremental_manifest" -> ((s, dir) => {
+      import s.implicits._
+      val ts = tokenSeqs(s, dir)
+      val idNum = col("doc_id").cast("long")
+      val dim = (0 to 15).map(i => s"src$i").toDF("source")
+      val cfg = graft.run.PipelineConfig(schemaJson = docSchemaJson,
+        partCol = "source", driftNumCol = None, driftCatCol = None)
+      val store = new graft.snapshot.AppendSnapshotStore(s,
+        java.nio.file.Files.createTempDirectory("graft-incr-q").toString)
+      val state = java.nio.file.Files.createTempDirectory("graft-incr-st").toString
+      store.commitAppend("seqs", ts.filter(idNum % 3 =!= 0), "source")
+      graft.run.IncrementalValidation.validateDeltaAndCommit(
+        s, store, "seqs", Some(dim), None, cfg, state, "incr-1")
+      store.commitAppend("seqs", ts.filter(idNum % 3 === 0), "source")
+      graft.run.IncrementalValidation.validateDeltaAndCommit(
+        s, store, "seqs", Some(dim), None, cfg, state, "incr-2")
+        .manifest.select(col("partition_key"), col("row_count"),
+          col("violation_count"), col("verdict"))
+    }),
+
     // ---- canonical derived table aggregate (derivation correctness) ----
     "q_token_stats" -> ((s, dir) =>
       tokenSeqs(s, dir).groupBy("source").agg(
@@ -759,6 +788,29 @@ object SparkEntry {
       // (the enum and RI families both fire on the same bad-source rows —
       // intentionally, they are distinct checks in the pipeline)
       "q_partition_verdicts" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents),
+           v AS (SELECT source,
+             count(*) AS row_count,
+             count(*) FILTER (WHERE n_tok > 80)
+               + coalesce(sum(len(list_filter(toks, t -> t > 3900))), 0)
+               + 2 * count(*) FILTER (WHERE source NOT IN ($allowedSrc)) AS viol
+             FROM ts GROUP BY 1)
+           SELECT source AS partition_key, row_count::BIGINT AS row_count,
+             viol::BIGINT AS violation_count, viol = 0 AS verdict FROM v""",
+
+      "q_heavy_hitters" ->
+        """WITH src AS (SELECT user_id::VARCHAR AS item FROM events
+             WHERE user_id IS NOT NULL),
+           n AS (SELECT count(*) AS n FROM src)
+           SELECT item, count(*)::BIGINT AS cnt,
+             round(count(*)::DOUBLE / (SELECT n FROM n), 6) AS share
+           FROM src GROUP BY 1
+           HAVING count(*) >= ceil(0.008 * (SELECT n FROM n))""",
+
+      // identical totals to q_partition_verdicts: the incremental merge over
+      // two snapshot deltas must equal one full-table validation
+      "q_incremental_manifest" ->
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
              len(string_split(text,' ')) n_tok, source FROM documents),
            v AS (SELECT source,

@@ -197,3 +197,129 @@ object TDigestQuantiles {
       TDigestQuantileAgg(GraftSql.toExpression(col), probs, compression)
         .toAggregateExpression())
 }
+
+/** `tdigest_sketch(col)` — same aggregation as [[TDigestQuantileAgg]] but the
+  * RESULT is the serialized digest itself (BinaryType). This is what makes
+  * per-partition quantile state mergeable ACROSS runs: an incremental
+  * revalidation persists each partition's digest in the state table and later
+  * merges it with the delta's digest ([[TDigestMergeBytes]]) instead of
+  * rescanning 100 TB of already-validated rows. */
+case class TDigestSketchAgg(
+    child: Expression,
+    compression: Double = 100.0,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] {
+
+  override def createAggregationBuffer(): TDigest = new TDigest(compression)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(child.dataType match {
+      case DoubleType => v.asInstanceOf[Double]
+      case FloatType => v.asInstanceOf[Float].toDouble
+      case IntegerType => v.asInstanceOf[Int].toDouble
+      case LongType => v.asInstanceOf[Long].toDouble
+      case ShortType => v.asInstanceOf[Short].toDouble
+      case ByteType => v.asInstanceOf[Byte].toDouble
+      case dt => throw new IllegalStateException(s"tdigest over non-numeric $dt")
+    })
+    buffer
+  }
+
+  override def merge(buffer: TDigest, input: TDigest): TDigest = {
+    buffer.merge(input); buffer
+  }
+
+  // an empty digest still serializes (0 centroids) — callers distinguish
+  // "no rows" by row_count, not by a null sketch
+  override def eval(buffer: TDigest): Any = buffer.serialize()
+
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "tdigest_sketch"
+}
+
+object TDigestSketch {
+  def apply(col: Column, compression: Double = 100.0): Column =
+    GraftSql.toColumn(
+      TDigestSketchAgg(GraftSql.toExpression(col), compression)
+        .toAggregateExpression())
+}
+
+/** `tdigest_merge(sketchCol)` — aggregate MERGE of serialized digests
+  * (BinaryType in, BinaryType out). This is the cross-run combine of the
+  * incremental path: per-run per-partition digests from the state table fold
+  * into one digest per partition without touching any raw row. */
+case class TDigestMergeAgg(
+    child: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] {
+
+  override def createAggregationBuffer(): TDigest = new TDigest(100.0)
+
+  override def update(buffer: TDigest, input: InternalRow): TDigest = {
+    val v = child.eval(input)
+    if (v != null) buffer.merge(TDigest.deserialize(v.asInstanceOf[Array[Byte]]))
+    buffer
+  }
+
+  override def merge(buffer: TDigest, input: TDigest): TDigest = {
+    buffer.merge(input); buffer
+  }
+
+  override def eval(buffer: TDigest): Any = buffer.serialize()
+  override def serialize(buffer: TDigest): Array[Byte] = buffer.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def withNewMutableAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TDigestMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "tdigest_merge"
+}
+
+object TDigestMerge {
+  def apply(col: Column): Column =
+    GraftSql.toColumn(
+      TDigestMergeAgg(GraftSql.toExpression(col)).toAggregateExpression())
+}
+
+/** Scalar helpers over serialized digests. Used on MANIFEST-sized tables
+  * (one row per partition), so interpreted evaluation is irrelevant to the
+  * 100 TB path — the heavy lifting happened inside the sketch aggregates. */
+object TDigestBytes {
+  /** Merge two serialized digests (either side null → the other). */
+  val merge2: (Array[Byte], Array[Byte]) => Array[Byte] = (a, b) =>
+    if (a == null) b
+    else if (b == null) a
+    else {
+      val d = TDigest.deserialize(a)
+      d.merge(TDigest.deserialize(b))
+      d.serialize()
+    }
+
+  /** Quantile of a serialized digest (null/empty digest → null). */
+  def quantile(bytes: Array[Byte], p: Double): java.lang.Double =
+    if (bytes == null) null
+    else {
+      val d = TDigest.deserialize(bytes)
+      if (d.totalWeight == 0) null else java.lang.Double.valueOf(d.quantile(p))
+    }
+}

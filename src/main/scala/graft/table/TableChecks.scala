@@ -42,6 +42,43 @@ object TableChecks {
       .groupBy(col(key)).agg(sum("partial_cnt").as("cnt"))
       .filter(col("cnt") > 1)
 
+  /** Heavy keys of `column` (share ≥ `minShare` of non-null rows) — the skew
+    * DIAGNOSIS that decides where salting / AQE skew-split is needed. Two
+    * passes, O(k) aggregation state:
+    *
+    *  1. ONE scan fused into a single aggregation: a Misra–Gries summary
+    *     (`graft.functions.MisraGries`, k = max(64, ⌈4/minShare⌉)) + the
+    *     non-null row count. MG's no-false-negative bound (every item with
+    *     share > 1/(k+1) is tracked) makes the candidate set a superset of
+    *     the answer, with O(k) memory where a full groupBy's partial-agg hash
+    *     maps would hold the whole (URL/doc-id-sized) domain.
+    *  2. Exact counts for the ≤k candidates only: an `isin` filter (pushed to
+    *     the scan) then groupBy — the shuffle carries heavy-key rows' keys
+    *     only.
+    *
+    * Output: (item, cnt, share), exact, sorted by cnt desc. The driver-side
+    * candidate list is ≤ k entries — never row-scale. */
+  def heavyHitters(df: DataFrame, column: String, minShare: Double,
+                   sketchK: Int = 0): DataFrame = {
+    require(minShare > 0 && minShare <= 1, s"minShare must be in (0,1]: $minShare")
+    val k = if (sketchK > 0) sketchK else math.max(64, math.ceil(4.0 / minShare).toInt)
+    val c = col(column).cast(StringType)
+    val row = df.select(c.as("_k")).filter(col("_k").isNotNull)
+      .agg(graft.functions.MisraGries(col("_k"), k).as("mg"),
+        count(lit(1)).as("n")).head()
+    val n = row.getLong(1)
+    if (n == 0) return df.sparkSession.emptyDataFrame
+      .select(lit("").as("item"), lit(0L).as("cnt"), lit(0.0).as("share"))
+    val threshold = math.ceil(minShare * n).toLong
+    val cand = row.getMap[String, org.apache.spark.sql.Row](0)
+      .collect { case (item, b) if b.getLong(1) >= threshold => item }.toSeq
+    df.select(c.as("item")).filter(col("item").isin(cand: _*))
+      .groupBy("item").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .withColumn("share", col("cnt").cast(DoubleType) / lit(n.toDouble))
+      .orderBy(col("cnt").desc, col("item"))
+  }
+
   /** Uniqueness violations as violation rows (FIXTURES §4 contract). */
   def uniquenessViolations(df: DataFrame, key: String): DataFrame =
     duplicates(df, key).select(
