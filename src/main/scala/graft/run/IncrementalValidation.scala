@@ -121,11 +121,15 @@ object IncrementalValidation {
         .withColumn("_why", concat(lit("key occurs "),
           col("cnt").cast(StringType), lit(" times in the delta")))
       // delta key vs ALL PRIOR keys: key-only columns on both sides — the
-      // prior read is column-pruned to the key column chunks
+      // prior read is column-pruned to the key column chunks, and the prior
+      // side is NEVER shuffled: the semi-join's small (delta-keys) side
+      // broadcasts under AQE, prior keys stream through it map-side, and
+      // only the (rare) matches reach the post-join distinct
       val vsPrior =
         if (from == 0L) None
-        else Some(store.readBetween(table, 0L, from).select(col(k)).distinct()
+        else Some(store.readBetween(table, 0L, from).select(col(k))
           .join(digest.select(col(k)).distinct(), Seq(k), "left_semi")
+          .distinct()
           .withColumn("_why", lit("key already exists in a prior snapshot")))
       val offending = vsPrior.fold(inDelta.select(col(k), col("_why")))(p =>
         inDelta.select(col(k), col("_why")).unionByName(p))
