@@ -161,6 +161,12 @@ object SparkEntry {
       one("l_quantity").unionByName(one("l_extendedprice"))
     }),
 
+    // ---- dataset-scope: equi-width histogram + distribution entropy ----
+    "q_histogram_nchars" -> ((s, dir) =>
+      TableChecks.histogram(t(s, dir, "documents"), "n_chars", buckets = 20)),
+    "q_entropy_source" -> ((s, dir) =>
+      TableChecks.entropy(t(s, dir, "documents"), "source")),
+
     // ---- dataset-scope: exact quantiles ----
     "q_quantiles_nchars" -> ((s, dir) =>
       t(s, dir, "documents").agg(
@@ -718,6 +724,27 @@ object SparkEntry {
              sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
              CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
              count(DISTINCT l_extendedprice) FROM lineitem""",
+
+      "q_histogram_nchars" ->
+        """WITH mm AS (SELECT min(n_chars)::DOUBLE lo, max(n_chars)::DOUBLE hi
+             FROM documents),
+           w AS (SELECT lo, CASE WHEN hi > lo THEN (hi - lo) / 20 ELSE 1.0 END w
+             FROM mm),
+           c AS (SELECT least(floor((n_chars::DOUBLE - lo) / w), 19)::INT AS bucket,
+             count(*) AS cnt FROM documents, w WHERE n_chars IS NOT NULL GROUP BY 1)
+           SELECT b.bucket,
+             round(b.lo + b.bucket * b.w, 6) AS lo_edge,
+             round(b.lo + (b.bucket + 1) * b.w, 6) AS hi_edge,
+             coalesce(c.cnt, 0)::BIGINT AS cnt
+           FROM (SELECT s.range::INT AS bucket, w.lo, w.w
+                 FROM range(20) s CROSS JOIN w) b
+           LEFT JOIN c ON c.bucket = b.bucket""",
+
+      "q_entropy_source" ->
+        """WITH c AS (SELECT count(*)::DOUBLE c FROM documents
+             WHERE source IS NOT NULL GROUP BY source)
+           SELECT round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits,
+             count(*)::BIGINT AS n_distinct FROM c""",
 
       "q_quantiles_nchars" ->
         """SELECT round(quantile_cont(n_chars, 0.25), 4) AS p25,

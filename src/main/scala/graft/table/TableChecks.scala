@@ -176,6 +176,47 @@ object TableChecks {
     df.agg(graft.functions.TDigestQuantiles(col(column), probs, compression)
       .as("quantiles"))
 
+  /** Equi-width histogram of a numeric column: `buckets` buckets over the
+    * observed [min, max], bucket i covering [lo + i·w, lo + (i+1)·w) with the
+    * last bucket right-closed (max lands in bucket buckets-1). Two passes,
+    * both O(1) aggregation state per partition: a min/max aggregate (2 values
+    * to the driver — never row data), then ONE hash aggregation on the bucket
+    * index. Empty buckets are emitted with cnt=0 (driver-built bucket spine,
+    * ≤ `buckets` rows) so downstream histogram compares are positional. */
+  def histogram(df: DataFrame, column: String, buckets: Int): DataFrame = {
+    require(buckets >= 1, s"buckets must be >= 1: $buckets")
+    val v = col(column).cast(DoubleType)
+    val mm = df.agg(min(v).as("lo"), max(v).as("hi")).head()
+    if (mm.isNullAt(0))
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0).as("bucket"), lit(0.0).as("lo_edge"),
+          lit(0.0).as("hi_edge"), lit(0L).as("cnt"))
+    val lo = mm.getDouble(0); val hi = mm.getDouble(1)
+    val w = if (hi > lo) (hi - lo) / buckets else 1.0
+    val idx = least(floor((v - lit(lo)) / lit(w)), lit(buckets - 1)).cast(IntegerType)
+    val counts = df.filter(v.isNotNull)
+      .groupBy(idx.as("bucket")).agg(count(lit(1)).as("cnt"))
+    val spine = df.sparkSession.range(buckets).select(col("id").cast(IntegerType).as("bucket"))
+    spine.join(counts, Seq("bucket"), "left_outer")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("lo_edge", round(lit(lo) + col("bucket") * lit(w), 6))
+      .withColumn("hi_edge", round(lit(lo) + (col("bucket") + 1) * lit(w), 6))
+      .select("bucket", "lo_edge", "hi_edge", "cnt")
+  }
+
+  /** Shannon entropy (bits) of a categorical column's distribution, with the
+    * distinct-value count. One hash aggregation to domain-sized counts, then
+    * the entropy fold over that tiny frame — raw rows never shuffle. */
+  def entropy(df: DataFrame, column: String): DataFrame = {
+    val counts = df.filter(col(column).isNotNull)
+      .groupBy(col(column)).agg(count(lit(1)).as("_cnt"))
+    counts.agg(sum("_cnt").as("_n"), count(lit(1)).as("n_distinct"),
+      sum(col("_cnt") * log2(col("_cnt"))).as("_clogc"))
+      .select(
+        round(log2(col("_n")) - col("_clogc") / col("_n"), 6).as("entropy_bits"),
+        col("n_distinct"))
+  }
+
   // --------------------------------------------------------------------- drift
 
   /** Two-sample Kolmogorov–Smirnov statistic over a (discrete or continuous)
