@@ -27,7 +27,8 @@ class ConformanceSpec extends SparkSpec {
     val flat = Seq("/conformance/cases.json", "/conformance/cases2.json",
       "/conformance/cases4.json", "/conformance/cases5.json",
       "/conformance/cases6.json", "/conformance/cases7.json",
-      "/conformance/cases8.json", "/conformance/cases9.json").flatMap { f =>
+      "/conformance/cases8.json", "/conformance/cases9.json",
+      "/conformance/cases10.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
