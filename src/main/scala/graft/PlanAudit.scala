@@ -19,7 +19,9 @@ object PlanAudit {
       "q_tdigest_ntok", "q_json_ingest", "q_containment", "q_hot_shingles",
       "q_fuzzy_dedup", "q_snapshot_diff", "q_para_dedup",
       "q_pii_scan", "q_gopher_filter", "q_semantic_dedup",
-      "q_chunk_split", "q_pack_assign", "q_packed_seqs", "q_shard_order")
+      "q_chunk_split", "q_pack_assign", "q_packed_seqs", "q_shard_order",
+      "q_heavy_hitters", "q_histogram_nchars", "q_entropy_source",
+      "q_incremental_manifest")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute first: under AQE the pre-execution plan is the INITIAL one,

@@ -72,7 +72,16 @@ object TableChecks {
     val threshold = math.ceil(minShare * n).toLong
     val cand = row.getMap[String, org.apache.spark.sql.Row](0)
       .collect { case (item, b) if b.getLong(1) >= threshold => item }.toSeq
-    df.select(c.as("item")).filter(col("item").isin(cand: _*))
+    // phase-2 membership filter in the column's NATIVE type so the In
+    // predicate pushes to the parquet scan (row-group stats skipping); a
+    // string-cast comparison would read every row group
+    val typedCand: Seq[Any] = df.schema(column).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => cand.map(_.toLong)
+      case FloatType | DoubleType => cand.map(_.toDouble)
+      case _ => cand
+    }
+    df.filter(col(column).isin(typedCand: _*))
+      .select(c.as("item"))
       .groupBy("item").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
       .withColumn("share", col("cnt").cast(DoubleType) / lit(n.toDouble))
