@@ -45,15 +45,21 @@ object Dedup {
     * semi-join the broadcast hot-hash list and confirm by exact content
     * grouping — hash collisions between distinct contents fall out at the
     * final `dup_count > 1` filter. */
-  def exactDuplicates(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+  def exactDuplicates(df: DataFrame, idCol: String, contentCol: String,
+                      maxIds: Int = 10000): DataFrame = {
     // no forced broadcast of the hot-hash list: its size is O(n·dup_rate)
     // and unbounded at web scale — AQE broadcasts it when small and falls
     // back to a (graceful) shuffled semi-join when it is not
     val candidates = df
       .withColumn("_h", xxhash64(col(contentCol)))
       .join(dupHashes(df, contentCol), Seq("_h"), "left_semi")
+    // dup_count is EXACT; ids is the full group up to `maxIds` members and a
+    // bounded sample beyond (a degenerate mega-group — millions of identical
+    // docs — must not materialize one multi-million-element agg buffer)
     candidates.groupBy(col(contentCol))
-      .agg(count(lit(1)).as("dup_count"), sort_array(collect_list(col(idCol))).as("ids"))
+      .agg(count(lit(1)).as("dup_count"),
+        sort_array(slice(graft.expr.CappedCollectList(col(idCol), maxIds),
+          1, maxIds)).as("ids"))
       .filter(col("dup_count") > 1)
   }
 
@@ -254,10 +260,13 @@ object Dedup {
 
   /** SimHash near-dup candidates: equal signatures (exact). */
   def simhashDuplicates(df: DataFrame, idCol: String, tokensCol: String,
-                        seed: Long = 42L): DataFrame =
+                        seed: Long = 42L, maxIds: Int = 10000): DataFrame =
     df.select(col(idCol).as("id"), simhash32(col(tokensCol), seed).as("sig"))
       .groupBy("sig").agg(count(lit(1)).as("dup_count"),
-        sort_array(collect_list(col("id"))).as("ids"))
+        // exact count; id list bounded at maxIds (sample beyond — see
+        // exactDuplicates) so a mega-group cannot blow one agg buffer
+        sort_array(slice(graft.expr.CappedCollectList(col("id"), maxIds),
+          1, maxIds)).as("ids"))
       .filter(col("dup_count") > 1)
 
   /** SimHash near-duplicates within hamming distance `maxHamming`: band the

@@ -93,6 +93,36 @@ class MegaBucketSpec extends SparkSpec {
     assert(pairs === Set((100001L, 100002L), (100001L, 100003L), (100002L, 100003L)))
   }
 
+  test("exactDuplicates: mega-group keeps exact dup_count with bounded ids") {
+    // 40k identical docs + one 3-doc group: counts stay EXACT (count(1) is
+    // O(1) per group), ids are the full group under maxIds and a bounded
+    // sample above it — no 40k-element agg buffer
+    val mega = spark.range(0, 40000, 1, 16)
+      .select(col("id").as("doc_id"), lit("same same same").as("text"))
+    val small = Seq((50001L, "other"), (50002L, "other"), (50003L, "other"))
+      .toDF("doc_id", "text")
+    val got = graft.table.Dedup.exactDuplicates(
+        mega.unionByName(small), "doc_id", "text", maxIds = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(got.length === 2)
+    val byText = got.map(g => g._1 -> g).toMap
+    assert(byText("same same same")._2 === 40000L)
+    assert(byText("same same same")._3.length === 100) // bounded sample
+    assert(byText("other")._2 === 3L)
+    assert(byText("other")._3 === Seq(50001L, 50002L, 50003L)) // exact under cap
+  }
+
+  test("simhashDuplicates: mega-signature group bounded the same way") {
+    val mega = spark.range(0, 30000, 1, 16)
+      .select(col("id").as("doc_id"), lit(Array(7, 8, 9)).as("tokens"))
+    val got = graft.table.Dedup.simhashDuplicates(mega, "doc_id", "tokens",
+        maxIds = 64)
+      .collect().map(r => (r.getLong(1), r.getSeq[Long](2)))
+    assert(got.length === 1)
+    assert(got(0)._1 === 30000L)
+    assert(got(0)._2.length === 64)
+  }
+
   test("jaccardPairs keeps one-scan discipline with a universal stop-shingle") {
     // every doc carries stop-shingle (1,2,3); capped postings drop it while
     // the true dup pair (ids 0,1) still surfaces — same contract as SkewSpec
