@@ -206,6 +206,16 @@ object SparkEntry {
         "doc_id", "tokens", minHits = 3)
         .select(col("id").as("doc_id"), col("n_hits"))
     }),
+    // same semantics through the Bloom pre-probe plan (different split so the
+    // two queries exercise independent benchmark sets); deliberately small
+    // sketch at this sf — exactness must not depend on the fpp
+    "q_bloom_decontaminate" -> ((s, dir) => {
+      val ts = tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
+      graft.table.Decontamination.bloomContaminated(
+        ts.filter(col("doc_id") % 89 =!= 0), ts.filter(col("doc_id") % 89 === 0),
+        "doc_id", "tokens", minHits = 2, expectedItems = 65536L)
+        .select(col("id").as("doc_id"), col("n_hits"))
+    }),
 
     // ---- row-level constraint validation over derived token_sequences ----
     "q_row_violations" -> ((s, dir) =>
@@ -790,6 +800,18 @@ object SparkEntry {
            SELECT id AS doc_id, count(*) AS n_hits
            FROM csh JOIN bsh USING (s)
            GROUP BY 1 HAVING count(*) >= 3""",
+
+      // the bloom path is exact by construction (no false negatives + exact
+      // verify), so its oracle is the plain overlap SQL
+      "q_bloom_decontaminate" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
+           bsh AS (SELECT DISTINCT unnest(list_distinct($shSql)) s FROM ts
+                   WHERE id % 89 = 0 AND len(toks) >= 3),
+           csh AS (SELECT id, unnest(list_distinct($shSql)) s FROM ts
+                   WHERE id % 89 <> 0 AND len(toks) >= 3)
+           SELECT id AS doc_id, count(*) AS n_hits
+           FROM csh JOIN bsh USING (s)
+           GROUP BY 1 HAVING count(*) >= 2""",
 
       "q_row_violations" ->
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,

@@ -49,6 +49,32 @@ class DecontaminationSpec extends SparkSpec {
       s"expected broadcast probe join, got:\n$plan")
   }
 
+  test("bloomContaminated is result-identical to the exact path") {
+    val exact = Decontamination.contaminated(corpus, bench, "doc_id", "tokens")
+      .as[(Long, Long)].collect().toMap
+    val bloom = Decontamination.bloomContaminated(corpus, bench, "doc_id", "tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(bloom == exact)
+    // a deliberately undersized sketch (high fpp) only costs verify work —
+    // the exact semi-join still removes every false positive
+    val tiny = Decontamination.bloomContaminated(corpus, bench, "doc_id", "tokens",
+      expectedItems = 2L, fpp = 0.5).as[(Long, Long)].collect().toMap
+    assert(tiny == exact)
+  }
+
+  test("bloomContaminated on an empty benchmark returns no rows") {
+    val empty = bench.filter(lit(false))
+    assert(Decontamination.bloomContaminated(corpus, empty, "doc_id", "tokens").count() === 0L)
+  }
+
+  test("bloom probe is a zero-join filter stage (no broadcast of the shingle set)") {
+    // the pre-probe must appear as bloom_filter_might_contain in the plan,
+    // BEFORE any join: the 100 TB side's scan stage carries only the sketch
+    val plan = Decontamination.bloomContaminated(corpus, bench, "doc_id", "tokens")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom probe in plan:\n$plan")
+  }
+
   test("psiDrift matches a scalar reference and is zero on identical sides") {
     val cur = Seq.fill(60)("a").map(Tuple1(_)).toDF("c")
       .union(Seq.fill(40)("b").map(Tuple1(_)).toDF("c"))
