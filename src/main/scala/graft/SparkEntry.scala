@@ -174,6 +174,19 @@ object SparkEntry {
         round(expr("percentile(n_chars, 0.5)"), 4).as("p50"),
         round(expr("percentile(n_chars, 0.75)"), 4).as("p75"))),
 
+    // ---- dataset-scope: learned Tukey-fence (IQR) outlier bounds — the
+    //      dataset-scope analogue of exclusiveMin/Max with distribution-
+    //      derived bounds (exact quartiles here; t-digest at web scale) ----
+    "q_outlier_bounds" -> ((s, dir) =>
+      TableChecks.iqrOutlierBounds(t(s, dir, "events"), "value")),
+
+    // ---- sessionization: 30-min-gap sessions over the event stream; one
+    //      shuffle on user_id shared by the boundary window and the
+    //      per-session aggregation ----
+    "q_sessions" -> ((s, dir) =>
+      graft.table.Sessions.sessionStats(t(s, dir, "events"),
+        "user_id", "ts", gapSeconds = 1800, tieCol = "event_id")),
+
     // ---- drift: two-sample KS statistic (en vs es on n_chars) ----
     "q_ks_lang" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -351,6 +364,31 @@ object SparkEntry {
         tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
         "doc_id", "tokens", minJaccard = 0.5)
         .select(col("id").as("doc_id"), col("component"))),
+
+    // ---- dedup: QUALITY-AWARE fuzzy dedup — each near-dup cluster keeps its
+    //      best row (max n_chars, ties → min id) instead of the min id;
+    //      clusters from the same MinHash-LSH pair graph as q_fuzzy_dedup ----
+    "q_fuzzy_keep_best" -> ((s, dir) => {
+      val seqs = tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
+      val pairs = Dedup.minhashLshPairs(seqs, "doc_id", "tokens", minJaccard = 0.5)
+      graft.table.Components.dedupByPairsKeepBest(
+        t(s, dir, "documents")
+          .select(col("doc_id").cast("long").as("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", pairs, "id_a", "id_b")
+    }),
+
+    // ---- dedup: INCREMENTAL append-only fuzzy dedup — only pairs involving
+    //      at least one fresh doc (fresh = doc_id ≥ 400 stands in for today's
+    //      crawl increment); prior candidates come from the persisted
+    //      signature table, prior tokens are read only to verify survivors ----
+    "q_incr_dedup" -> ((s, dir) => {
+      val seqs = tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long"))
+      val prior = seqs.filter(col("doc_id") < 400)
+      val fresh = seqs.filter(col("doc_id") >= 400)
+      Dedup.incrementalLshPairs(prior, fresh, "doc_id", "tokens", minJaccard = 0.5,
+        priorSigs = Some(Dedup.minhashSignatures(prior, "doc_id", "tokens")))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
 
     // ---- dedup: END-TO-END semantic dedup over embeddings (cosine pairs →
     //      connected components → cluster label; component = id = keeper) ----
@@ -761,6 +799,37 @@ object SparkEntry {
            round(quantile_cont(n_chars, 0.5), 4) AS p50,
            round(quantile_cont(n_chars, 0.75), 4) AS p75 FROM documents""",
 
+      // exact quartiles (quantile_cont ≡ Spark's exact percentile: linear
+      // interpolation at rank p·(n−1)); fences re-derived with the identical
+      // arithmetic order q1 − 1.5·(q3−q1) so the doubles match bit-for-bit
+      "q_outlier_bounds" ->
+        """WITH q AS (SELECT quantile_cont(value, 0.25) q1,
+                        quantile_cont(value, 0.75) q3 FROM events)
+           SELECT round(q1, 6) AS q1, round(q3, 6) AS q3,
+             round(q1 - 1.5*(q3 - q1), 6) AS lo_fence,
+             round(q3 + 1.5*(q3 - q1), 6) AS hi_fence,
+             sum(CASE WHEN value < q1 - 1.5*(q3 - q1) THEN 1 ELSE 0 END)::BIGINT AS n_below,
+             sum(CASE WHEN value > q3 + 1.5*(q3 - q1) THEN 1 ELSE 0 END)::BIGINT AS n_above,
+             count(value) AS n
+           FROM events, q GROUP BY q1, q3""",
+
+      // session boundary: gap > 1800 s on truncated epoch seconds, ordered by
+      // (ts, event_id) — the exact window Spark runs; the session counter sum
+      // is ::BIGINT (DuckDB window sums are HUGEINT) and epochs are floor()ed (DuckDB DOUBLE→BIGINT casts round, Spark truncates)
+      "q_sessions" ->
+        """WITH x AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                  THEN 1 ELSE 0 END ns
+             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           y AS (SELECT user_id, floor(epoch(ts))::BIGINT sec,
+             (sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+             FROM x)
+           SELECT user_id, session_idx, count(*) AS n_events,
+             min(sec) AS start_s, (max(sec) - min(sec)) AS dur_s
+           FROM y GROUP BY 1, 2""",
+
       "q_ks_lang" ->
         """WITH a AS (SELECT n_chars::DOUBLE v, count(*) ca FROM documents WHERE lang='en' GROUP BY 1),
            b AS (SELECT n_chars::DOUBLE v, count(*) cb FROM documents WHERE lang='es' GROUP BY 1),
@@ -964,6 +1033,35 @@ object SparkEntry {
            SELECT d.doc_id::BIGINT AS doc_id,
                   COALESCE(cc.component, d.doc_id::BIGINT) AS component
            FROM documents d LEFT JOIN cc ON cc.node = d.doc_id::BIGINT""",
+
+      // same pair graph + component semantics as q_fuzzy_dedup; the
+      // representative contest (max n_chars, ties → min id) replayed as a
+      // window over the labeled rows. Singletons are their own component and
+      // trivially rank 1.
+      "q_fuzzy_keep_best" ->
+        s"""WITH RECURSIVE $minhashPairCtes,
+           sym AS (SELECT id_a a, id_b b FROM mpairs
+                   UNION SELECT id_b, id_a FROM mpairs),
+           reach(node, label) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s2.a, r.label FROM reach r JOIN sym s2 ON s2.b = r.node),
+           cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+           lab AS (SELECT d.doc_id::BIGINT id,
+                     COALESCE(cc.component, d.doc_id::BIGINT) comp, d.n_chars
+                   FROM documents d LEFT JOIN cc ON cc.node = d.doc_id::BIGINT),
+           rk AS (SELECT id, n_chars, comp,
+                    row_number() OVER (PARTITION BY comp
+                      ORDER BY n_chars DESC, id) rn FROM lab)
+           SELECT id AS doc_id, n_chars FROM rk WHERE rn = 1""",
+
+      // incremental dedup ≡ the full-corpus pair set restricted to pairs
+      // involving a fresh (id ≥ 400) doc — the engine computes it without
+      // re-banding prior×prior, the oracle replays the equivalence
+      "q_incr_dedup" ->
+        s"""WITH $minhashPairCtes
+           SELECT id_a, id_b, jaccard FROM mpairs
+           WHERE id_a >= 400 OR id_b >= 400""",
 
       "q_containment" ->
         // same plan as q_jaccard_pairs (incl. the maxDocFreq=1000 cap);

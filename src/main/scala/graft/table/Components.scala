@@ -151,4 +151,33 @@ object Components {
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("node", "component")
   }
+
+  /** Quality-aware keep-one-per-cluster dedup: instead of the min-id row,
+    * each near-dup cluster keeps its BEST row — max `scoreCol`, ties broken
+    * by min id so the choice is deterministic and engine-portable. This is
+    * what production curation actually does (near-dup clusters keep the
+    * longest / highest-quality page, not the one that happened to crawl
+    * first); min-id [[dedupByPairs]] remains the arbitrary-representative
+    * baseline.
+    *
+    * Scale shape: the contest runs over (id, score, component) triples only —
+    * clustered rows are a dup-rate-sized fraction of the corpus and the
+    * payload never shuffles for the decision. The loser set (cluster size − 1
+    * per cluster) anti-joins back against the unshuffled input, AQE
+    * broadcasting it while small. */
+  def dedupByPairsKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+                           pairs: DataFrame, aCol: String, bCol: String,
+                           maxIter: Int = 30): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol, maxIter)
+    // only rows that appear in the pair graph are contested; everything else
+    // survives untouched (inner join keeps the contest edge-list-sized)
+    val contested = df
+      .select(col(idCol).cast("long").as("_id"), col(scoreCol).as("_score"))
+      .join(cc, col("_id") === col("node"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component")).orderBy(col("_score").desc, col("_id"))
+    val losers = contested.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") =!= 1).select(col("_id"))
+    df.join(losers, col(idCol).cast("long") === col("_id"), "left_anti")
+  }
 }

@@ -249,6 +249,72 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Per-doc MinHash signatures as a persistable (id, sig: array<long>)
+    * table — the corpus-side state an append-only dedup pipeline stores so
+    * tomorrow's increment never recomputes today's shingles (a signature row
+    * is K longs vs the document's whole token array). */
+  def minhashSignatures(df: DataFrame, idCol: String, tokensCol: String,
+                        k: Int = 16, seed: Long = 42L): DataFrame =
+    df.select(col(idCol).as("id"), col(tokensCol).as("tokens"))
+      .filter(size(col("tokens")) > 2)
+      .select(col("id"), minhashSignature(col("tokens"), minhashCoeffs(k, seed)).as("sig"))
+
+  /** Incremental MinHash-LSH near-dup pairs for append-only corpora: verified
+    * pairs that involve at least one FRESH doc — fresh×fresh and fresh×prior.
+    * prior×prior pairs were found when the prior batches were ingested, so a
+    * daily increment pays the increment's share of the work, not a corpus
+    * rescan:
+    *  - prior signatures come from the persisted [[minhashSignatures]] table
+    *    when supplied (`priorSigs`) — the prior corpus' token arrays are then
+    *    never read for candidate generation, only for verifying the (rare)
+    *    surviving candidate pairs;
+    *  - in-bucket pair generation carries a fresh/prior flag in the posting
+    *    struct and drops prior-only pairs BEFORE the distinct shuffle;
+    *  - hot buckets are capped as in [[minhashLshPairs]].
+    * Same band/bucket geometry as [[minhashLshPairs]]: running it on
+    * (prior ∪ fresh) and filtering to fresh-involving pairs yields the
+    * identical result (the oracle replays exactly that). */
+  def incrementalLshPairs(prior: DataFrame, fresh: DataFrame, idCol: String,
+                          tokensCol: String, minJaccard: Double, k: Int = 16,
+                          bands: Int = 4, seed: Long = 42L, maxBucket: Int = 1000,
+                          priorSigs: Option[DataFrame] = None): DataFrame = {
+    val r = k / bands
+    val pSigs = priorSigs.getOrElse(minhashSignatures(prior, idCol, tokensCol, k, seed))
+      .select(col("id"), col("sig"), lit(0).as("f"))
+    val fSigs = minhashSignatures(fresh, idCol, tokensCol, k, seed)
+      .select(col("id"), col("sig"), lit(1).as("f"))
+    val bandCols = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat_ws("_", (0 until r).map(j =>
+          element_at(col("sig"), bi * r + j + 1).cast("string")): _*).as("key"))
+    }
+    val buckets = pSigs.unionByName(fSigs)
+      .select(col("id"), col("f"), explode(array(bandCols: _*)).as("bk"))
+    // the posting struct's second slot carries the fresh flag; n_a + n_b = 0
+    // (a prior×prior pair) is dropped in-list, before the distinct exchange
+    val cand = buckets.groupBy("bk")
+      .agg(sort_array(graft.expr.CappedCollectList(
+        struct(col("id"), col("f").as("n")), maxBucket)).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(graft.expr.ShingleExprs.postingPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), (col("p.n_a") + col("p.n_b")).as("_fr"))
+      .filter(col("_fr") > 0)
+      .select("id_a", "id_b").distinct()
+    val toks = prior.unionByName(fresh)
+      .select(col(idCol).as("id"), col(tokensCol).as("tokens"))
+      .filter(size(col(tokensCol)) > 2)
+    val withToks = cand
+      .join(toks.select(col("id").as("id_a"), col("tokens").as("t_a")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("tokens").as("t_b")), Seq("id_b"))
+    val sa = array_distinct(shingles3(col("t_a")))
+    val sb = array_distinct(shingles3(col("t_b")))
+    withToks.withColumn("jaccard",
+        size(array_intersect(sa, sb)).cast("double") /
+        size(array_union(sa, sb)).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** 32-bit SimHash over token multiset: bit b of the signature is the sign
     * of Σ_tokens (bit b of h(t) ? +1 : -1), h(t) = (a·t + b) mod P.
     * Native codegen'd expression (graft.expr.SimHash32) — the Column form

@@ -185,6 +185,39 @@ object TableChecks {
     df.agg(graft.functions.TDigestQuantiles(col(column), probs, compression)
       .as("quantiles"))
 
+  /** Tukey-fence (IQR) outlier detection on a numeric column: fences at
+    * Q1 − k·IQR and Q3 + k·IQR, returning one row with the fences and the
+    * outlier counts on each side. The dataset-scope generalization of the
+    * reference's `exclusiveMinimum`/`exclusiveMaximum` bounds — the bounds
+    * here are LEARNED from the column's own distribution instead of declared.
+    *
+    * Two passes, like [[histogram]]: a quartile aggregate (2 values to the
+    * driver, never rows), then one scan counting fence violations. `exact`
+    * uses the exact `percentile` aggregate — memory O(distinct values per
+    * partition), the oracle-parity baseline; at web scale pass
+    * `exact = false` for the mergeable t-digest (O(compression) state,
+    * approximate quartiles). */
+  def iqrOutlierBounds(df: DataFrame, column: String, k: Double = 1.5,
+                       exact: Boolean = true): DataFrame = {
+    val v = col(column).cast(DoubleType)
+    val qs =
+      if (exact)
+        df.agg(expr(s"percentile($column, array(0.25d, 0.75d))").as("q"))
+          .head().getSeq[Double](0)
+      else
+        tdigestQuantiles(df, column, Seq(0.25, 0.75)).head().getSeq[Double](0)
+    val q1 = qs(0); val q3 = qs(1)
+    val iqr = q3 - q1
+    val lo = q1 - k * iqr; val hi = q3 + k * iqr
+    df.agg(
+      sum(when(v < lo, 1L).otherwise(0L)).as("n_below"),
+      sum(when(v > hi, 1L).otherwise(0L)).as("n_above"),
+      count(v).as("n"))
+      .select(round(lit(q1), 6).as("q1"), round(lit(q3), 6).as("q3"),
+        round(lit(lo), 6).as("lo_fence"), round(lit(hi), 6).as("hi_fence"),
+        col("n_below"), col("n_above"), col("n"))
+  }
+
   /** Equi-width histogram of a numeric column: `buckets` buckets over the
     * observed [min, max], bucket i covering [lo + i·w, lo + (i+1)·w) with the
     * last bucket right-closed (max lands in bucket buckets-1). Two passes,

@@ -89,6 +89,17 @@ class ComponentsSpec extends SparkSpec {
     assert(kept == Set(0L, 3L, 4L, 5L, 7L, 8L, 9L))
   }
 
+  test("dedupByPairsKeepBest keeps the max-score row, ties break to min id") {
+    // clusters {0,1,2} scores (1,9,9) → keeper 1 (max score, tie → min id);
+    // {5,6} scores (3,8) → keeper 6; isolated 3,4 always survive
+    val rows = Seq((0L, 1.0), (1L, 9.0), (2L, 9.0), (3L, 0.5), (4L, 2.0),
+      (5L, 3.0), (6L, 8.0)).toDF("id", "score")
+    val pairs = Seq((0L, 1L), (1L, 2L), (5L, 6L)).toDF("a", "b")
+    val kept = Components.dedupByPairsKeepBest(rows, "id", "score", pairs, "a", "b")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L, 6L))
+  }
+
   test("q_dup_clusters edge relation: multi-hop chains with skip merges") {
     // mirrors the SparkEntry query at a small doc universe 0..49
     val docs = (0L until 50L).toDF("doc_id")

@@ -45,6 +45,27 @@ class FuzzyDedupSpec extends SparkSpec {
     assert(kept === Array(1L, 3L, 5L))
   }
 
+  test("incrementalLshPairs ≡ full-corpus pairs restricted to fresh-involving") {
+    // prior: 1≡2 (a prior×prior pair — must NOT re-emerge); fresh: 11≡2
+    // (fresh×prior) and 12≡13 (fresh×fresh); 20 unrelated
+    val prior = docs(1L -> (100 to 130), 2L -> (100 to 130), 3L -> (500 to 540))
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+    val fresh = docs(11L -> (100 to 130), 12L -> (700 to 740),
+      13L -> (700 to 740), 20L -> (900 to 906))
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+    val inc = Dedup.incrementalLshPairs(prior, fresh, "doc_id", "tokens",
+      minJaccard = 0.5,
+      priorSigs = Some(Dedup.minhashSignatures(prior, "doc_id", "tokens")))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLshPairs(prior.unionByName(fresh), "doc_id", "tokens",
+      minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter((p: (Long, Long)) => p._1 >= 11L || p._2 >= 11L)
+    assert(inc == full)
+    assert(inc.contains((2L, 11L)) && inc.contains((12L, 13L)))
+    assert(!inc.contains((1L, 2L)), "prior×prior pair must not re-emerge")
+  }
+
   test("containmentPairs scores sub-document duplication that Jaccard under-scores") {
     // B = first 12 tokens of A: B's 10 shingles all appear in A's 28 →
     // overlap = 10/min(28,10) = 1.0 while jaccard = 10/28 ≈ 0.36

@@ -25,6 +25,22 @@ class StatsSpec extends SparkSpec {
     assert(nulls.count() == 0)
   }
 
+  test("iqrOutlierBounds: fences and per-side counts on a known distribution") {
+    // values 1..100 plus outliers -50 and 300: Q1=25.75, Q3=75.25 over the
+    // 102 values? use exactly 1..101 so quartiles are integral: Q1=26, Q3=76
+    val df = ((1 to 101).map(_.toDouble) ++ Seq(-500.0, 500.0)).toDF("v")
+    val r = TableChecks.iqrOutlierBounds(df, "v").head()
+    val q1 = r.getDouble(0); val q3 = r.getDouble(1)
+    val lo = r.getDouble(2); val hi = r.getDouble(3)
+    assert(lo == q1 - 1.5 * (q3 - q1) && hi == q3 + 1.5 * (q3 - q1))
+    assert(r.getLong(4) == 1L && r.getLong(5) == 1L) // one outlier per side
+    assert(r.getLong(6) == 103L)
+    // t-digest path agrees within sketch tolerance on the fences
+    val a = TableChecks.iqrOutlierBounds(df, "v", exact = false).head()
+    assert(math.abs(a.getDouble(0) - q1) <= 30.0 &&
+      math.abs(a.getDouble(1) - q3) <= 30.0)
+  }
+
   test("entropy: uniform = log2(k), constant = 0, skew in between") {
     val uni = TableChecks.entropy(
       (0 until 64).map(i => s"k${i % 8}").toDF("c"), "c").head()
