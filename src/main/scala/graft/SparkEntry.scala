@@ -634,7 +634,14 @@ object SparkEntry {
         .filter(!col("_valid"))
         .select(col("event_id"), explode(col("_violations")).as("v"))
         .select(col("event_id"), col("v.keyword").as("keyword"))
-    })
+    }),
+
+    // ---- data-driven schema inference: ONE-scan column profiling (min/max,
+    //      null-based required, length bounds, bounded-state exact enum
+    //      domain via CappedCollectSet) — the facet table that inferJson
+    //      turns into a draft-2020-12 schema ----
+    "q_infer_profile" -> ((s, dir) =>
+      graft.model.SchemaInference.profile(t(s, dir, "documents")))
   )
 
   // =====================================================================
@@ -1521,7 +1528,27 @@ object SparkEntry {
              true AS ok_p95,
              round(quantile_cont(n_chars, 0.99), 4) AS exact_p99,
              true AS ok_p99
-           FROM documents"""
+           FROM documents""",
+
+      // schema-inference facet table: per-column min/max / required /
+      // length bounds / ≤64-distinct enum domain, mirrored column-by-column
+      "q_infer_profile" -> {
+        def num(c: String) =
+          s"""SELECT '$c' AS col_name, 'integer' AS json_type,
+                (count(*) > 0 AND count($c) = count(*)) AS required,
+                min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+                NULL::BIGINT AS min_len, NULL::BIGINT AS max_len,
+                NULL::VARCHAR AS enum_csv FROM documents"""
+        def str(c: String) =
+          s"""SELECT '$c', 'string', (count(*) > 0 AND count($c) = count(*)),
+                NULL::DOUBLE, NULL::DOUBLE,
+                min(length($c))::BIGINT, max(length($c))::BIGINT,
+                CASE WHEN count(DISTINCT $c) <= 64
+                     THEN string_agg(DISTINCT $c, '|' ORDER BY $c)
+                     ELSE NULL END FROM documents"""
+        Seq(num("doc_id"), str("text"), str("lang"), str("source"),
+            num("n_chars")).mkString("\nUNION ALL\n")
+      }
     )
   }
 }

@@ -73,3 +73,68 @@ object CappedCollectList {
     GraftSql.toColumn(
       CappedCollectList(GraftSql.toExpression(c), cap).toAggregateExpression())
 }
+
+/** `collect_set` with a HARD per-group size bound — a bounded-state EXACT
+  * "distinct-if-small" sketch. Accumulation stops once the set holds `cap + 1`
+  * DISTINCT values, so the aggregation buffer is O(cap) regardless of group
+  * size or cardinality.
+  *
+  * Exactness argument: if the group's true distinct count is ≤ cap, no partial
+  * buffer can ever exceed cap elements (each holds a subset of the true
+  * distinct set), so no update/merge ever short-circuits and the union is the
+  * exact distinct set. If the true count is > cap, at least one buffer reaches
+  * cap + 1 and the final result has > cap elements — recognizably over-cap to
+  * the caller, which must treat it as "too many to enumerate" (this is the
+  * only supported use of an over-cap result; WHICH cap+1 values survive is
+  * arrival-order-dependent).
+  *
+  * This powers enum inference in `SchemaInference`: a low-cardinality column
+  * yields its exact value domain in ONE scan with constant memory, while a
+  * high-cardinality column (doc ids, free text) costs cap+1 slots instead of
+  * an unbounded `collect_set` buffer — the same memory-shape discipline as
+  * [[CappedCollectList]] for LSH posting lists. */
+case class CappedCollectSet(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends Collect[mutable.HashSet[Any]] {
+
+  require(cap >= 1 && cap <= 65535, s"cap must be in [1, 65535], got $cap")
+
+  override lazy val bufferElementType: DataType = child.dataType
+  override def convertToBufferElement(value: Any): Any = InternalRow.copyValue(value)
+  override def createAggregationBuffer(): mutable.HashSet[Any] =
+    mutable.HashSet.empty
+
+  override def update(buffer: mutable.HashSet[Any],
+                      input: InternalRow): mutable.HashSet[Any] =
+    if (buffer.size > cap) buffer else super.update(buffer, input)
+
+  override def merge(buffer: mutable.HashSet[Any],
+                     other: mutable.HashSet[Any]): mutable.HashSet[Any] = {
+    val it = other.iterator
+    while (buffer.size <= cap && it.hasNext) buffer += it.next()
+    buffer
+  }
+
+  override def eval(buffer: mutable.HashSet[Any]): Any =
+    new GenericArrayData(buffer.toArray)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CappedCollectSet =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CappedCollectSet =
+    copy(inputAggBufferOffset = newOffset)
+  override def prettyName: String = "capped_collect_set"
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(child = newChildren.head)
+}
+
+object CappedCollectSet {
+  /** Column-API entry: result order is undefined — `sort_array` for
+    * determinism; results with `size > cap` mean "over cap", discard them. */
+  def apply(c: Column, cap: Int): Column =
+    GraftSql.toColumn(
+      CappedCollectSet(GraftSql.toExpression(c), cap).toAggregateExpression())
+}
