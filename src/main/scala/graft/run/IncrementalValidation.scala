@@ -172,7 +172,7 @@ object IncrementalValidation {
       .withColumn("snapshot_id", lit(cur))
       .withColumn("partition_key", part.cast(StringType))
       .drop(cfg.partCol)
-    state.appendState(deltaState)
+    state.appendState(deltaState, cur)
 
     // ---- drift sufficient statistics: per-(partition, value) delta counts ----
     val distParts: Seq[DataFrame] =
@@ -192,7 +192,7 @@ object IncrementalValidation {
           col("column"), col("v_num"), col("k_cat"), col("cnt")))
         .reduce(_ unionByName _)
         .withColumn("snapshot_id", lit(cur))
-      state.appendDist(dist)
+      state.appendDist(dist, cur)
     }
 
     digest.unpersist()
@@ -356,35 +356,45 @@ object IncrementalValidation {
 
   /** Append-only state under `dir`: `state/batch=*` (mergeable per-run
     * per-partition rows) and `dist_counts/batch=*` (drift sufficient
-    * statistics). Same staging+rename atomic append as [[ManifestStore]]. */
+    * statistics). Same staging+rename atomic append as [[ManifestStore]].
+    *
+    * State batch dirs are named `batch=<snapshotId>-<uuid>`, so the standing
+    * job's "where did I leave off" question ([[lastValidatedSnapshot]]) is a
+    * directory LISTING, not a Spark job over every state batch — and stays
+    * crash-consistent, because the name becomes visible only with the atomic
+    * rename that commits the batch. */
   private final class StateDir(spark: SparkSession, dir: String) {
     private val stateDir = new Path(dir, "state")
     private val distDir = new Path(dir, "dist_counts")
     private def fs(p: Path) = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-    private def append(root: Path, rows: DataFrame): Unit = {
-      val batch = java.util.UUID.randomUUID().toString
+    private def append(root: Path, rows: DataFrame, snapId: Long): Unit = {
+      val batch = s"$snapId-${java.util.UUID.randomUUID().toString}"
       val staging = new Path(root, s"_staging-$batch")
       val target = new Path(root, s"batch=$batch")
-      rows.write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
+      // state/dist batches are manifest-/domain-sized — one file per append
+      rows.coalesce(1).write.mode(SaveMode.ErrorIfExists).parquet(staging.toString)
       if (!fs(root).rename(staging, target))
         throw new java.io.IOException(s"state commit rename failed: $target")
     }
-    private def isEmpty(root: Path): Boolean =
-      !fs(root).exists(root) || !fs(root).listStatus(root).exists(
-        _.getPath.getName.startsWith("batch="))
+    private def batchNames(root: Path): Seq[String] =
+      if (!fs(root).exists(root)) Seq.empty
+      else fs(root).listStatus(root).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("batch="))
+    private def isEmpty(root: Path): Boolean = batchNames(root).isEmpty
     private def readAll(root: Path): DataFrame =
       spark.read.option("basePath", root.toString)
         .parquet(new Path(root, "batch=*").toString).drop("batch")
 
-    def appendState(rows: DataFrame): Unit = append(stateDir, rows)
-    def appendDist(rows: DataFrame): Unit = append(distDir, rows)
+    def appendState(rows: DataFrame, snapId: Long): Unit = append(stateDir, rows, snapId)
+    def appendDist(rows: DataFrame, snapId: Long): Unit = append(distDir, rows, snapId)
     def hasState: Boolean = !isEmpty(stateDir)
     def hasDist: Boolean = !isEmpty(distDir)
     def readState(): DataFrame = readAll(stateDir)
     def readDist(): DataFrame = readAll(distDir)
     def lastValidatedSnapshot: Long =
-      if (!hasState) 0L
-      else readState().agg(max("snapshot_id")).head().getLong(0)
+      batchNames(stateDir)
+        .map(_.stripPrefix("batch=").takeWhile(_ != '-').toLong)
+        .foldLeft(0L)(math.max)
   }
 }
