@@ -210,6 +210,27 @@ object SparkEntry {
           col("n_categories"))
     }),
 
+    // ---- drift: TOKEN-level unigram distribution (vocab as the category
+    //      domain) — catches tokenizer/encoding drift that n_tok/source
+    //      counts cannot; en-docs token mix vs the whole corpus ----
+    "q_token_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TableChecks.tokenUnigramDrift(
+        TokenSeqs.fromDocuments(docs.filter(col("lang") === "en")),
+        tokenSeqs(s, dir), "tokens")
+        .select(round(col("psi"), 6).as("psi"), round(col("jsd"), 6).as("jsd"),
+          col("n_categories"))
+    }),
+    // per-source token drift: WHICH source's token mix moved
+    "q_token_drift_by" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TableChecks.tokenUnigramDriftBy(
+        TokenSeqs.fromDocuments(docs.filter(col("lang") === "en")),
+        tokenSeqs(s, dir), "tokens", "source")
+        .select(col("source"), round(col("psi"), 6).as("psi"),
+          round(col("jsd"), 6).as("jsd"), col("n_tokens"))
+    }),
+
     // ---- decontamination: corpus docs sharing >= 3 distinct 3-gram shingles
     //      with a benchmark split (doc_id % 97 == 0 plays the eval set) ----
     "q_decontaminate" -> ((s, dir) => {
@@ -641,7 +662,16 @@ object SparkEntry {
     //      domain via CappedCollectSet) — the facet table that inferJson
     //      turns into a draft-2020-12 schema ----
     "q_infer_profile" -> ((s, dir) =>
-      graft.model.SchemaInference.profile(t(s, dir, "documents")))
+      graft.model.SchemaInference.profile(t(s, dir, "documents"))),
+
+    // ---- schema-facet drift: full corpus vs the en-only subset's profile —
+    //      the domain-shift complement of the frequency drifts (KS/chi²/PSI):
+    //      new enum values, widened bounds/lengths, new nulls, type changes ----
+    "q_profile_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.model.SchemaInference.profileDrift(
+        docs, docs.filter(col("lang") === "en"))
+    })
   )
 
   // =====================================================================
@@ -866,6 +896,37 @@ object SparkEntry {
            SELECT round(sum((p - q)*ln(p/q)), 6) AS psi,
                   round(0.5*sum(p*ln(2*p/(p+q))) + 0.5*sum(q*ln(2*q/(p+q))), 6) AS jsd,
                   count(*) AS n_categories FROM j""",
+
+      "q_token_drift" ->
+        s"""WITH cur AS (SELECT unnest($tokSql) tok FROM documents WHERE lang='en'),
+           base AS (SELECT unnest($tokSql) tok FROM documents),
+           o AS (SELECT tok k, count(*) o FROM cur GROUP BY 1),
+           b AS (SELECT tok k, count(*) b FROM base GROUP BY 1),
+           t AS (SELECT (SELECT sum(o) FROM o)::DOUBLE tot_o,
+                        (SELECT sum(b) FROM b)::DOUBLE tot_b),
+           j AS (SELECT greatest(coalesce(o.o, 0)::DOUBLE / (SELECT tot_o FROM t), 1e-6) p,
+                        greatest(coalesce(b.b, 0)::DOUBLE / (SELECT tot_b FROM t), 1e-6) q
+                 FROM o FULL OUTER JOIN b ON o.k = b.k)
+           SELECT round(sum((p - q)*ln(p/q)), 6) AS psi,
+                  round(0.5*sum(p*ln(2*p/(p+q))) + 0.5*sum(q*ln(2*q/(p+q))), 6) AS jsd,
+                  count(*) AS n_categories FROM j""",
+
+      "q_token_drift_by" ->
+        s"""WITH cur AS (SELECT source g, unnest($tokSql) tok FROM documents WHERE lang='en'),
+           base AS (SELECT source g, unnest($tokSql) tok FROM documents),
+           o AS (SELECT g, tok, count(*) o FROM cur GROUP BY 1, 2),
+           b AS (SELECT g, tok, count(*) b FROM base GROUP BY 1, 2),
+           j0 AS (SELECT coalesce(o.g, b.g) g, coalesce(o.tok, b.tok) tok,
+                         coalesce(o.o, 0) o, coalesce(b.b, 0) b
+                  FROM o FULL OUTER JOIN b ON o.g = b.g AND o.tok = b.tok),
+           jt AS (SELECT g, o, b, sum(o) OVER (PARTITION BY g) tot_o,
+                         sum(b) OVER (PARTITION BY g) tot_b FROM j0),
+           j AS (SELECT g, greatest(o::DOUBLE / tot_o, 1e-6) p,
+                        greatest(b::DOUBLE / tot_b, 1e-6) q
+                 FROM jt WHERE tot_o > 0 AND tot_b > 0)
+           SELECT g AS source, round(sum((p - q)*ln(p/q)), 6) AS psi,
+                  round(0.5*sum(p*ln(2*p/(p+q))) + 0.5*sum(q*ln(2*q/(p+q))), 6) AS jsd,
+                  count(*) AS n_tokens FROM j GROUP BY 1""",
 
       "q_decontaminate" ->
         s"""WITH ts AS (SELECT doc_id::BIGINT id, $tokSql toks FROM documents),
@@ -1532,23 +1593,48 @@ object SparkEntry {
 
       // schema-inference facet table: per-column min/max / required /
       // length bounds / ≤64-distinct enum domain, mirrored column-by-column
-      "q_infer_profile" -> {
-        def num(c: String) =
-          s"""SELECT '$c' AS col_name, 'integer' AS json_type,
-                (count(*) > 0 AND count($c) = count(*)) AS required,
-                min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
-                NULL::BIGINT AS min_len, NULL::BIGINT AS max_len,
-                NULL::VARCHAR AS enum_csv FROM documents"""
-        def str(c: String) =
-          s"""SELECT '$c', 'string', (count(*) > 0 AND count($c) = count(*)),
-                NULL::DOUBLE, NULL::DOUBLE,
-                min(length($c))::BIGINT, max(length($c))::BIGINT,
-                CASE WHEN count(DISTINCT $c) <= 64
-                     THEN string_agg(DISTINCT $c, '|' ORDER BY $c)
-                     ELSE NULL END FROM documents"""
-        Seq(num("doc_id"), str("text"), str("lang"), str("source"),
-            num("n_chars")).mkString("\nUNION ALL\n")
-      }
+      "q_infer_profile" -> profileFacetSql(where = "TRUE"),
+
+      // profile drift: facet-level comparison of two one-scan profiles —
+      // full corpus (current) vs the en-only subset (baseline): lang gains
+      // enum values, doc_id/n_chars bounds widen, text lengths widen
+      "q_profile_drift" ->
+        s"""WITH cur AS (${profileFacetSql("TRUE")}),
+           base AS (${profileFacetSql("lang = 'en'")})
+           SELECT c.col_name, 'common' AS status,
+             (c.json_type <> b.json_type) AS type_changed,
+             (b.required AND NOT c.required) AS new_nulls,
+             (coalesce(c.min_num < b.min_num, false)
+               OR coalesce(c.max_num > b.max_num, false)) AS bounds_widened,
+             (coalesce(c.min_len < b.min_len, false)
+               OR coalesce(c.max_len > b.max_len, false)) AS length_widened,
+             CASE WHEN b.enum_csv IS NULL THEN NULL
+                  WHEN c.enum_csv IS NULL THEN '<domain exceeded cap>'
+                  ELSE (SELECT string_agg(DISTINCT v, '|' ORDER BY v)
+                        FROM unnest(string_split(c.enum_csv, '|')) AS t(v)
+                        WHERE NOT list_contains(string_split(b.enum_csv, '|'), v))
+             END AS new_enum_values
+           FROM cur c JOIN base b USING (col_name)"""
     )
+  }
+
+  /** Facet-profile SQL over `documents` (mirrors SchemaInference.profile
+    * column-by-column), filterable so drift oracles can profile a subset. */
+  private def profileFacetSql(where: String): String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, 'integer' AS json_type,
+            (count(*) > 0 AND count($c) = count(*)) AS required,
+            min($c)::DOUBLE AS min_num, max($c)::DOUBLE AS max_num,
+            NULL::BIGINT AS min_len, NULL::BIGINT AS max_len,
+            NULL::VARCHAR AS enum_csv FROM documents WHERE $where"""
+    def str(c: String) =
+      s"""SELECT '$c', 'string', (count(*) > 0 AND count($c) = count(*)),
+            NULL::DOUBLE, NULL::DOUBLE,
+            min(length($c))::BIGINT, max(length($c))::BIGINT,
+            CASE WHEN count(DISTINCT $c) <= 64
+                 THEN string_agg(DISTINCT $c, '|' ORDER BY $c)
+                 ELSE NULL END FROM documents WHERE $where"""
+    Seq(num("doc_id"), str("text"), str("lang"), str("source"),
+        num("n_chars")).mkString("\nUNION ALL\n")
   }
 }

@@ -152,4 +152,71 @@ object SchemaInference {
   /** Inference straight to canonical JSON (deterministic [[Marshal]] order). */
   def inferJson(df: DataFrame, enumCap: Int = DefaultEnumCap): String =
     Marshal.toJson(infer(df, enumCap))
+
+  /** PROFILE drift: compare the one-scan profiles of two snapshots and report,
+    * per column, which inferred facets a validator trained on `baseline`
+    * would now see violated by `current` — the schema-level complement of the
+    * value-distribution drifts in [[graft.table.TableChecks]] (KS/chi²/PSI
+    * move when frequencies shift; this moves when the DOMAIN shifts: new
+    * columns, widened ranges, longer strings, unseen enum values, new nulls).
+    *
+    * Cost: exactly two profile scans (one per side — each the single-pass
+    * bounded-state aggregation of [[profile]]); the comparison itself is
+    * O(columns × enumCap) on the driver.
+    *
+    * Output per column (sorted by name; only columns profilable on either
+    * side): `status` added|removed|common; for common columns, booleans for
+    * type change, new nulls (required → nullable), widened numeric bounds and
+    * string lengths, plus `new_enum_values` — the sorted '|'-joined values
+    * outside the baseline's exact domain (null when the baseline had no
+    * bounded domain, or nothing new appeared). */
+  def profileDrift(current: DataFrame, baseline: DataFrame,
+                   enumCap: Int = DefaultEnumCap): DataFrame = {
+    val spark = current.sparkSession
+    case class P(jsonType: String, required: Boolean,
+                 minNum: Option[Double], maxNum: Option[Double],
+                 minLen: Option[Long], maxLen: Option[Long],
+                 dom: Option[Set[String]])
+    def read(df: DataFrame): Map[String, P] =
+      profile(df, enumCap).collect().map { r =>
+        def o[T](n: String): Option[T] = {
+          val i = r.fieldIndex(n)
+          if (r.isNullAt(i)) None else Some(r.getAs[T](i))
+        }
+        r.getAs[String]("col_name") -> P(r.getAs[String]("json_type"),
+          r.getAs[Boolean]("required"),
+          o[Double]("min_num"), o[Double]("max_num"),
+          o[Long]("min_len"), o[Long]("max_len"),
+          o[String]("enum_csv").map(_.split('|').toSet))
+      }.toMap
+    val cur = read(current)
+    val base = read(baseline)
+
+    val rows = (cur.keySet ++ base.keySet).toSeq.sorted.map { name =>
+      (cur.get(name), base.get(name)) match {
+        case (Some(_), None) =>
+          (name, "added", null, null, null, null, null)
+        case (None, Some(_)) =>
+          (name, "removed", null, null, null, null, null)
+        case (Some(c), Some(b)) =>
+          val newEnum = b.dom.map(bd =>
+            c.dom.fold(Set("<domain exceeded cap>"))(_.diff(bd)))
+            .filter(_.nonEmpty).map(_.toSeq.sorted.mkString("|")).orNull
+          (name, "common",
+            java.lang.Boolean.valueOf(c.jsonType != b.jsonType),
+            java.lang.Boolean.valueOf(b.required && !c.required),
+            java.lang.Boolean.valueOf(
+              (for (cm <- c.minNum; bm <- b.minNum) yield cm < bm).getOrElse(false) ||
+              (for (cm <- c.maxNum; bm <- b.maxNum) yield cm > bm).getOrElse(false)),
+            java.lang.Boolean.valueOf(
+              (for (cl <- c.minLen; bl <- b.minLen) yield cl < bl).getOrElse(false) ||
+              (for (cl <- c.maxLen; bl <- b.maxLen) yield cl > bl).getOrElse(false)),
+            newEnum)
+        case _ => throw new IllegalStateException("unreachable")
+      }
+    }
+    import spark.implicits._
+    rows.toDF("col_name", "status", "type_changed", "new_nulls",
+      "bounds_widened", "length_widened", "new_enum_values")
+  }
 }

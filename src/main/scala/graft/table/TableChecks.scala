@@ -452,6 +452,56 @@ object TableChecks {
           sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) * 0.5).as("jsd"),
         count(lit(1)).as("n_categories"))
   }
+
+  /** TOKEN-level unigram drift: PSI + JSD of the token-frequency distribution
+    * vs a baseline snapshot, over the tokenizer vocabulary as the category
+    * domain. This is the drift check that catches what the row-count drifts
+    * above cannot: a tokenizer change, an encoding regression, or a topic
+    * shift moves token mass long before it moves `n_tok` or `source` counts.
+    *
+    * Scale shape: the explode feeds straight into a map-side-combined
+    * aggregation, so each task reduces its token stream to ≤ |vocab| partial
+    * rows before the exchange — the shuffle carries O(tasks × vocab), never
+    * O(total tokens), and the token arrays themselves never shuffle. */
+  def tokenUnigramDrift(current: DataFrame, baseline: DataFrame,
+                        tokensCol: String, eps: Double = 1e-6): DataFrame =
+    psiDrift(current.select(explode(col(tokensCol)).as("tok")),
+      baseline.select(explode(col(tokensCol)).as("tok")), "tok", eps)
+
+  /** Per-group token unigram drift: one (psi, jsd, n_tokens) row per value of
+    * `byCol` present on BOTH sides, comparing the group's token distribution
+    * in `current` against the same group in `baseline` — "which source's
+    * token mix changed" rather than "did the corpus change".
+    *
+    * Same closed-form statistic as [[psiDrift]], evaluated grid-wise: both
+    * sides reduce to |groups × vocab| count rows (map-side combined), the
+    * full-outer join aligns the grids, per-group totals come from one window
+    * pass over grid-sized data, and groups empty on either side are excluded
+    * (drift vs an empty distribution is undefined — surface those through
+    * [[SnapshotDiff]], not a divergence score). */
+  def tokenUnigramDriftBy(current: DataFrame, baseline: DataFrame,
+                          tokensCol: String, byCol: String,
+                          eps: Double = 1e-6): DataFrame = {
+    val o = current.select(col(byCol).as("g"), explode(col(tokensCol)).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("o"))
+    val b = baseline.select(col(byCol).as("g"), explode(col(tokensCol)).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("b"))
+    val byG = Window.partitionBy("g")
+    val totO = sum(coalesce(col("o"), lit(0L))).over(byG).cast(DoubleType)
+    val totB = sum(coalesce(col("b"), lit(0L))).over(byG).cast(DoubleType)
+    val p = greatest(coalesce(col("o"), lit(0L)).cast(DoubleType) / col("_totO"), lit(eps))
+    val q = greatest(coalesce(col("b"), lit(0L)).cast(DoubleType) / col("_totB"), lit(eps))
+    o.join(b, Seq("g", "tok"), "full_outer")
+      .withColumn("_totO", totO).withColumn("_totB", totB)
+      .filter(col("_totO") > 0 && col("_totB") > 0)
+      .select(col("g"), p.as("p"), q.as("q"))
+      .groupBy("g")
+      .agg(sum((col("p") - col("q")) * log(col("p") / col("q"))).as("psi"),
+        (sum(col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))) * 0.5 +
+          sum(col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))) * 0.5).as("jsd"),
+        count(lit(1)).as("n_tokens"))
+      .withColumnRenamed("g", byCol)
+  }
 }
 
 /** Regularized incomplete gamma Q(a,x) for chi-squared p-values — driver-side

@@ -88,4 +88,32 @@ class SchemaInferenceSpec extends SparkSpec {
     assert(a == b)
     assert(a.contains("\"minimum\"") && a.contains("\"enum\""))
   }
+
+  test("profileDrift: widened bounds, new enum values, new nulls, added/removed columns") {
+    val base = Seq(
+      (1L, "alpha", 10.0, "US"),
+      (2L, "beta", 20.0, "DE")
+    ).toDF("id", "name", "score", "country")
+    val cur = Seq(
+      (0L, "much-longer-name", 99.0, "US", Option.empty[String]),
+      (2L, "b", 20.0, "JP", Some("x"))
+    ).toDF("id", "name", "score", "country", "extra")
+      .withColumn("country", when(col("id") === 0L, lit(null)).otherwise(col("country")))
+    val d = SchemaInference.profileDrift(cur, base, enumCap = 3)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+
+    assert(d("extra").getAs[String]("status") == "added")
+    assert(d("id").getAs[Boolean]("bounds_widened"))   // min 0 < 1
+    assert(d("score").getAs[Boolean]("bounds_widened")) // max 99 > 20
+    assert(d("name").getAs[Boolean]("length_widened")) // 16 > 5 and 1 < 4
+    assert(d("country").getAs[Boolean]("new_nulls"))   // was required, now null
+    assert(d("country").getAs[String]("new_enum_values") == "JP")
+    assert(d("name").getAs[String]("new_enum_values") == "b|much-longer-name")
+    assert(!d("score").getAs[Boolean]("type_changed"))
+
+    // removed column
+    val d2 = SchemaInference.profileDrift(base.drop("country"), base, enumCap = 3)
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(d2("country").getAs[String]("status") == "removed")
+  }
 }

@@ -51,4 +51,35 @@ class StatsSpec extends SparkSpec {
       (Seq.fill(75)("a") ++ Seq.fill(25)("b")).toDF("c"), "c").head()
     assert(math.abs(skew.getDouble(0) - 0.811278) < 1e-6)
   }
+
+  test("tokenUnigramDrift: identical distribution ~0, shifted mass > 0") {
+    val base = (1 to 100).map(i => (i, Seq(i % 4, i % 4 + 4))).toDF("id", "tokens")
+    val same = TableChecks.tokenUnigramDrift(base, base, "tokens").head()
+    assert(math.abs(same.getAs[Double]("psi")) < 1e-12)
+    assert(math.abs(same.getAs[Double]("jsd")) < 1e-12)
+    assert(same.getAs[Long]("n_categories") == 8L)
+
+    // current moves all mass to tokens {0, 4}: large positive psi, jsd > 0
+    val cur = (1 to 100).map(i => (i, Seq(0, 4))).toDF("id", "tokens")
+    val moved = TableChecks.tokenUnigramDrift(cur, base, "tokens").head()
+    assert(moved.getAs[Double]("psi") > 0.5)
+    assert(moved.getAs[Double]("jsd") > 0.1)
+  }
+
+  test("tokenUnigramDriftBy: only the perturbed group shows drift; one-sided groups excluded") {
+    val base = (1 to 200).map { i =>
+      (i, if (i % 2 == 0) "a" else "b", Seq(i % 4, i % 4 + 4))
+    }.toDF("id", "src", "tokens")
+    // group a unchanged; group b collapses to token 0; group c only in current
+    val cur = base.filter(col("src") === "a")
+      .unionByName(base.filter(col("src") === "b")
+        .withColumn("tokens", typedLit(Seq(0, 0))))
+      .unionByName(Seq((999, "c", Seq(1, 2))).toDF("id", "src", "tokens"))
+    val r = TableChecks.tokenUnigramDriftBy(cur, base, "tokens", "src")
+      .collect().map(x => x.getAs[String]("src") -> x).toMap
+    assert(!r.contains("c"), "group missing from baseline must be excluded")
+    assert(math.abs(r("a").getAs[Double]("psi")) < 1e-12)
+    assert(r("b").getAs[Double]("psi") > 0.5)
+    assert(r("b").getAs[Double]("jsd") > 0.1)
+  }
 }
