@@ -161,6 +161,36 @@ object SparkEntry {
       one("l_quantity").unionByName(one("l_extendedprice"))
     }),
 
+    // ---- dataset-scope: declarative expectation suite — snapshot health
+    //      gate, all expectations lowered into ONE aggregation pass (the
+    //      mean_between row fails by design: the report shows verdicts) ----
+    "q_expectations" -> ((s, dir) => {
+      import graft.table.Expectations._
+      graft.table.Expectations.check(t(s, dir, "documents"), Seq(
+        RowCountBetween(100L, 100000000L),
+        NullRateMax("text", 0.0),
+        MinAtLeast("n_chars", 1.0),
+        MaxAtMost("n_chars", 1000000.0),
+        MeanBetween("n_chars", 0.0, 50.0),
+        DistinctCountBetween("source", 1L, 64L),
+        ValuesInSet("lang", Seq("en", "de", "fr"), 0.5),
+        MatchRegexRate("doc_id", "^[0-9]+$", 1.0),
+        QuantileBetween("n_chars", 0.5, 1.0, 100000.0)))
+        .select(col("expectation"), round(col("observed"), 6).as("observed"),
+          col("lo"), col("hi"), col("passed"))
+    }),
+
+    // ---- dataset-scope: robust per-group anomaly flags (median/MAD
+    //      modified z-score over a grouped metric — "which partition is
+    //      broken" applied to per-source mean document length) ----
+    "q_group_anomaly" -> ((s, dir) => {
+      val g = t(s, dir, "documents").groupBy("source")
+        .agg(avg(col("n_chars")).as("m"))
+      TableChecks.groupAnomalies(g, "source", "m")
+        .select(col("source"), round(col("value"), 6).as("value"),
+          round(col("mz"), 6).as("mz"), col("is_anomaly"))
+    }),
+
     // ---- dataset-scope: equi-width histogram + distribution entropy ----
     "q_histogram_nchars" -> ((s, dir) =>
       TableChecks.histogram(t(s, dir, "documents"), "n_chars", buckets = 20)),
@@ -809,6 +839,59 @@ object SparkEntry {
              sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
              CAST(min(l_extendedprice) AS DOUBLE), CAST(max(l_extendedprice) AS DOUBLE),
              count(DISTINCT l_extendedprice) FROM lineitem""",
+
+      "q_expectations" -> {
+        val dmax = "1.7976931348623157e308"
+        s"""SELECT 'row_count_between(100,100000000)' AS expectation,
+             round(count(*)::DOUBLE, 6) AS observed, 100.0 AS lo, 100000000.0 AS hi,
+             (count(*) >= 100 AND count(*) <= 100000000) AS passed FROM documents
+           UNION ALL SELECT 'null_rate_max(text,0.0)',
+             round(avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END), 6),
+             0.0, 0.0,
+             avg(CASE WHEN text IS NULL THEN 1.0 ELSE 0.0 END) <= 0.0 FROM documents
+           UNION ALL SELECT 'min_at_least(n_chars,1.0)',
+             round(min(n_chars)::DOUBLE, 6), 1.0, $dmax,
+             min(n_chars) >= 1.0 FROM documents
+           UNION ALL SELECT 'max_at_most(n_chars,1000000.0)',
+             round(max(n_chars)::DOUBLE, 6), -$dmax, 1000000.0,
+             max(n_chars) <= 1000000.0 FROM documents
+           UNION ALL SELECT 'mean_between(n_chars,0.0,50.0)',
+             round(avg(n_chars), 6), 0.0, 50.0,
+             (avg(n_chars) >= 0.0 AND avg(n_chars) <= 50.0) FROM documents
+           UNION ALL SELECT 'distinct_count_between(source,1,64)',
+             round(count(DISTINCT source)::DOUBLE, 6), 1.0, 64.0,
+             (count(DISTINCT source) >= 1 AND count(DISTINCT source) <= 64) FROM documents
+           UNION ALL SELECT 'values_in_set(lang,3 values,0.5)',
+             round(coalesce(avg(CASE WHEN lang IS NULL THEN NULL
+               WHEN lang IN ('en','de','fr') THEN 0.0 ELSE 1.0 END), 0.0), 6),
+             0.0, 0.5,
+             coalesce(avg(CASE WHEN lang IS NULL THEN NULL
+               WHEN lang IN ('en','de','fr') THEN 0.0 ELSE 1.0 END), 0.0) <= 0.5
+             FROM documents
+           UNION ALL SELECT 'match_regex_rate(doc_id,1.0)',
+             round(coalesce(avg(CASE WHEN doc_id IS NULL THEN NULL
+               WHEN regexp_matches(doc_id::VARCHAR, '^[0-9]+$$') THEN 1.0
+               ELSE 0.0 END), 0.0), 6),
+             1.0, 1.0,
+             coalesce(avg(CASE WHEN doc_id IS NULL THEN NULL
+               WHEN regexp_matches(doc_id::VARCHAR, '^[0-9]+$$') THEN 1.0
+               ELSE 0.0 END), 0.0) >= 1.0 FROM documents
+           UNION ALL SELECT 'quantile_between(n_chars,0.5,1.0,100000.0)',
+             round(quantile_cont(n_chars, 0.5), 6), 1.0, 100000.0,
+             (quantile_cont(n_chars, 0.5) >= 1.0
+               AND quantile_cont(n_chars, 0.5) <= 100000.0) FROM documents"""
+      },
+
+      "q_group_anomaly" ->
+        """WITH g AS (SELECT source, avg(n_chars) m FROM documents GROUP BY 1),
+           st AS (SELECT (SELECT quantile_cont(m, 0.5) FROM g) med),
+           st2 AS (SELECT (SELECT quantile_cont(abs(m - med), 0.5) FROM g, st) mad,
+                          (SELECT med FROM st) med)
+           SELECT source, round(m, 6) AS value,
+             CASE WHEN mad > 0 THEN round(0.6745*(m - med)/mad, 6) END AS mz,
+             CASE WHEN mad > 0 THEN abs(0.6745*(m - med)/mad) > 3.5
+                  ELSE m <> med END AS is_anomaly
+           FROM g, st2""",
 
       "q_histogram_nchars" ->
         """WITH mm AS (SELECT min(n_chars)::DOUBLE lo, max(n_chars)::DOUBLE hi

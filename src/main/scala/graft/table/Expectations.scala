@@ -1,0 +1,138 @@
+package graft.table
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declarative dataset-scope expectation suite — the dataset-level analogue
+  * of the row engine's keyword model (and of production tools like Great
+  * Expectations): a suite of named assertions about a TABLE (row counts, null
+  * rates, bounds, distinct counts, set membership, regex conformance, mean /
+  * quantile location) evaluated in ONE scan and reported as one verdict row
+  * per expectation.
+  *
+  * Where the row engine asks "is this row valid?" (reference semantics,
+  * `/root/reference/internal/validator/validator.go`), an expectation suite
+  * asks "is this SNAPSHOT of the table healthy?" — the check a standing
+  * pipeline runs before promoting a snapshot to training.
+  *
+  * Scale shape: every expectation lowers to aggregate expressions over the
+  * same single pass (map-side combined, no shuffle of raw rows, O(1) state
+  * per expectation — except exact distinct counts, which add one expand each;
+  * pass `approxDistinct = true` to keep those O(1) too via HLL++). The
+  * verdict report is built on the driver from the ONE collected row —
+  * O(expectations), independent of table size.
+  */
+object Expectations {
+
+  sealed trait Expectation {
+    /** Stable name for the verdict report. */
+    def name: String
+  }
+  /** count(*) ∈ [lo, hi]. */
+  final case class RowCountBetween(lo: Long, hi: Long) extends Expectation {
+    def name = s"row_count_between($lo,$hi)"
+  }
+  /** fraction of NULLs in `column` ≤ max. */
+  final case class NullRateMax(column: String, max: Double) extends Expectation {
+    def name = s"null_rate_max($column,$max)"
+  }
+  /** min(column) ≥ v (NULLs ignored, like SQL min). */
+  final case class MinAtLeast(column: String, v: Double) extends Expectation {
+    def name = s"min_at_least($column,$v)"
+  }
+  /** max(column) ≤ v. */
+  final case class MaxAtMost(column: String, v: Double) extends Expectation {
+    def name = s"max_at_most($column,$v)"
+  }
+  /** avg(column) ∈ [lo, hi]. */
+  final case class MeanBetween(column: String, lo: Double, hi: Double) extends Expectation {
+    def name = s"mean_between($column,$lo,$hi)"
+  }
+  /** distinct count of `column` ∈ [lo, hi]. Exact by default (adds one
+    * aggregation expand); HLL++ when the suite runs with approxDistinct. */
+  final case class DistinctCountBetween(column: String, lo: Long, hi: Long) extends Expectation {
+    def name = s"distinct_count_between($column,$lo,$hi)"
+  }
+  /** fraction of non-null values outside `allowed` ≤ maxOutRate. */
+  final case class ValuesInSet(column: String, allowed: Seq[String],
+                               maxOutRate: Double = 0.0) extends Expectation {
+    def name = s"values_in_set($column,${allowed.size} values,$maxOutRate)"
+  }
+  /** fraction of non-null values matching `regex` ≥ minRate. */
+  final case class MatchRegexRate(column: String, regex: String,
+                                  minRate: Double) extends Expectation {
+    def name = s"match_regex_rate($column,$minRate)"
+  }
+  /** exact `p`-quantile of `column` ∈ [lo, hi] (percentile; exact at any
+    * scale the aggregation supports — swap to t-digest upstream if needed). */
+  final case class QuantileBetween(column: String, p: Double,
+                                   lo: Double, hi: Double) extends Expectation {
+    def name = s"quantile_between($column,$p,$lo,$hi)"
+  }
+
+  /** The aggregate observation an expectation needs, plus its acceptance
+    * bounds: passed = lo ≤ observed ≤ hi (NaN observed never passes). */
+  private def lowered(e: Expectation): (Column, Double, Double) = e match {
+    case RowCountBetween(lo, hi) =>
+      (count(lit(1)).cast(DoubleType), lo.toDouble, hi.toDouble)
+    case NullRateMax(c, mx) =>
+      (coalesce(avg(col(c).isNull.cast(DoubleType)), lit(0.0)), 0.0, mx)
+    case MinAtLeast(c, v) => (min(col(c)).cast(DoubleType), v, Double.MaxValue)
+    case MaxAtMost(c, v) => (max(col(c)).cast(DoubleType), -Double.MaxValue, v)
+    case MeanBetween(c, lo, hi) => (avg(col(c)).cast(DoubleType), lo, hi)
+    case DistinctCountBetween(c, lo, hi) =>
+      (countDistinct(col(c)).cast(DoubleType), lo.toDouble, hi.toDouble)
+    case ValuesInSet(c, allowed, mx) =>
+      (coalesce(avg((!col(c).cast(StringType).isin(allowed: _*)).cast(DoubleType)),
+        lit(0.0)), 0.0, mx)
+    case MatchRegexRate(c, re, mn) =>
+      (coalesce(avg(col(c).cast(StringType).rlike(re).cast(DoubleType)), lit(0.0)),
+        mn, 1.0)
+    case QuantileBetween(c, p, lo, hi) =>
+      (expr(s"percentile($c, ${p}D)").cast(DoubleType), lo, hi)
+  }
+
+  private def loweredApprox(e: Expectation): (Column, Double, Double) = e match {
+    case DistinctCountBetween(c, lo, hi) =>
+      (approx_count_distinct(col(c)).cast(DoubleType), lo.toDouble, hi.toDouble)
+    case other => lowered(other)
+  }
+
+  /** Evaluate the suite in one aggregation pass. Returns one row per
+    * expectation: (expectation, observed, lo, hi, passed) in suite order.
+    * `approxDistinct` swaps exact distinct counts for HLL++ (O(1) state; use
+    * at scales where the exact expand is the bottleneck — thresholds must
+    * then tolerate the sketch's ~2% error). */
+  def check(df: DataFrame, suite: Seq[Expectation],
+            approxDistinct: Boolean = false): DataFrame = {
+    require(suite.nonEmpty, "empty expectation suite")
+    val spark = df.sparkSession
+    val low = suite.map(if (approxDistinct) loweredApprox else lowered)
+    val aggs = low.zipWithIndex.map { case ((c, _, _), i) => c.as(s"_e$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+
+    val out = suite.zip(low).zipWithIndex.map { case ((e, (_, lo, hi)), i) =>
+      val obs: java.lang.Double =
+        if (row.isNullAt(i)) null else java.lang.Double.valueOf(row.getDouble(i))
+      // a NULL observation (e.g. min of an all-null column) is a failed
+      // expectation about location, but a vacuously-passed rate (avg handled
+      // by the coalesce(0.0) above) — only location checks can observe null
+      val passed = obs != null && obs >= lo && obs <= hi
+      Row(e.name, obs, lo, hi, passed)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(out: _*),
+      StructType(Seq(
+        StructField("expectation", StringType, nullable = false),
+        StructField("observed", DoubleType, nullable = true),
+        StructField("lo", DoubleType, nullable = false),
+        StructField("hi", DoubleType, nullable = false),
+        StructField("passed", BooleanType, nullable = false))))
+  }
+
+  /** True iff every expectation in the suite passed. */
+  def passes(df: DataFrame, suite: Seq[Expectation],
+             approxDistinct: Boolean = false): Boolean =
+    check(df, suite, approxDistinct).filter(!col("passed")).isEmpty
+}

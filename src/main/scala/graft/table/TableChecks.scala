@@ -453,6 +453,38 @@ object TableChecks {
         count(lit(1)).as("n_categories"))
   }
 
+  /** Robust per-group anomaly flags: modified z-score of a group-level metric
+    * across groups, using median/MAD (Iglewicz–Hoaglin: mz = 0.6745·(v −
+    * median)/MAD, |mz| > 3.5 = anomaly) — median/MAD stay meaningful when the
+    * anomaly itself would wreck a mean/stddev baseline. The intended input is
+    * a per-partition manifest or grouped aggregate ("which partition's
+    * null_rate / row_count / mean is broken"), so `grouped` is |groups|-sized
+    * and everything after the first aggregation is tiny.
+    *
+    * When MAD = 0 (over half the groups share the median value) the z-score
+    * is undefined (null); any value ≠ median is then flagged directly.
+    *
+    * Scale shape: one map-side-combined aggregation to |groups| rows; the
+    * median/MAD reduction and the flag projection run over |groups| rows.
+    * Raw rows never shuffle. */
+  def groupAnomalies(grouped: DataFrame, groupCol: String, valueCol: String,
+                     zMax: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val med = grouped.agg(
+      expr(s"percentile($valueCol, 0.5D)").cast(DoubleType).as("_med"))
+    val withMed = grouped.crossJoin(broadcast(med))
+    val mad = withMed.agg(
+      expr("percentile(abs(CAST(" + valueCol + " AS DOUBLE) - _med), 0.5D)")
+        .cast(DoubleType).as("_mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col(groupCol), v.as("value"),
+        when(col("_mad") > 0.0,
+          lit(0.6745) * (v - col("_med")) / col("_mad")).as("mz"),
+        when(col("_mad") > 0.0,
+          abs(lit(0.6745) * (v - col("_med")) / col("_mad")) > zMax)
+          .otherwise(v =!= col("_med")).as("is_anomaly"))
+  }
+
   /** TOKEN-level unigram drift: PSI + JSD of the token-frequency distribution
     * vs a baseline snapshot, over the tokenizer vocabulary as the category
     * domain. This is the drift check that catches what the row-count drifts

@@ -1,0 +1,72 @@
+package graft
+
+import graft.table.Expectations
+import graft.table.Expectations._
+import org.apache.spark.sql.functions._
+
+/** Dataset-scope expectation suites: one-scan evaluation, verdict report. */
+class ExpectationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    ("a", 10, "en"), ("b", 20, "en"), ("c", 30, "de"),
+    ("d", 40, "fr"), ("e", 50, "xx")
+  ).toDF("id", "n", "lang")
+
+  test("all expectation kinds evaluate in one pass with correct verdicts") {
+    val r = Expectations.check(df, Seq(
+      RowCountBetween(5, 5),                    // pass
+      RowCountBetween(6, 10),                   // fail
+      NullRateMax("lang", 0.0),                 // pass (no nulls)
+      MinAtLeast("n", 10.0),                    // pass (min=10)
+      MinAtLeast("n", 11.0),                    // fail
+      MaxAtMost("n", 50.0),                     // pass
+      MeanBetween("n", 29.0, 31.0),             // pass (mean=30)
+      DistinctCountBetween("lang", 4, 4),       // pass (en,de,fr,xx)
+      ValuesInSet("lang", Seq("en", "de", "fr"), 0.2),  // pass (1/5 out)
+      ValuesInSet("lang", Seq("en", "de", "fr"), 0.1),  // fail
+      MatchRegexRate("id", "^[a-z]$", 1.0),     // pass
+      QuantileBetween("n", 0.5, 30.0, 30.0)     // pass (exact median)
+    )).collect()
+    val byName = r.map(x => x.getString(0) -> x.getBoolean(4)).toMap
+    assert(byName("row_count_between(5,5)"))
+    assert(!byName("row_count_between(6,10)"))
+    assert(byName("null_rate_max(lang,0.0)"))
+    assert(byName("min_at_least(n,10.0)"))
+    assert(!byName("min_at_least(n,11.0)"))
+    assert(byName("max_at_most(n,50.0)"))
+    assert(byName("mean_between(n,29.0,31.0)"))
+    assert(byName("distinct_count_between(lang,4,4)"))
+    assert(byName("values_in_set(lang,3 values,0.2)"))
+    assert(!byName("values_in_set(lang,3 values,0.1)"))
+    assert(byName("match_regex_rate(id,1.0)"))
+    assert(byName("quantile_between(n,0.5,30.0,30.0)"))
+    // observed values surface in the report
+    val obs = r.map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(obs("mean_between(n,29.0,31.0)") == 30.0)
+    assert(obs("values_in_set(lang,3 values,0.2)") == 0.2)
+  }
+
+  test("null observations fail location checks; rates treat nulls correctly") {
+    val withNulls = Seq((Some(1), "x"), (None, "y"), (None, null))
+      .toDF("v", "s")
+    val allNull = withNulls.filter(col("v").isNull)
+    // min over an all-null column observes null -> failed
+    val r = Expectations.check(allNull, Seq(MinAtLeast("v", 0.0))).head()
+    assert(r.isNullAt(1) && !r.getBoolean(4))
+    // null rate counts nulls over ALL rows; regex rate is over non-null only
+    val r2 = Expectations.check(withNulls, Seq(
+      NullRateMax("v", 0.7),                  // 2/3 null ≤ 0.7
+      MatchRegexRate("s", "^[xy]$", 1.0)      // nulls excluded: 2/2 match
+    )).collect()
+    assert(r2.forall(_.getBoolean(4)))
+  }
+
+  test("approxDistinct keeps the verdict with sketch-tolerant thresholds") {
+    val many = (1 to 1000).map(i => s"v$i").toDF("c")
+    val r = Expectations.check(many,
+      Seq(DistinctCountBetween("c", 900, 1100)), approxDistinct = true).head()
+    assert(r.getBoolean(4))
+    assert(Expectations.passes(many, Seq(DistinctCountBetween("c", 990, 1010))))
+  }
+}

@@ -52,6 +52,26 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(skew.getDouble(0) - 0.811278) < 1e-6)
   }
 
+  test("groupAnomalies: modified z-score flags the outlier; MAD=0 falls back to inequality") {
+    val g = ((1 to 9).map(i => (s"g$i", i.toDouble)) :+ ("gX", 1000.0))
+      .toDF("g", "m")
+    val r = TableChecks.groupAnomalies(g, "g", "m")
+      .collect().map(x => x.getAs[String]("g") -> x).toMap
+    // median 5.5, MAD 2.5: mz(gX) = .6745*994.5/2.5 >> 3.5, mz(g1) ~ -1.21
+    assert(r("gX").getAs[Boolean]("is_anomaly"))
+    assert(math.abs(r("g1").getAs[Double]("mz") - 0.6745 * -4.5 / 2.5) < 1e-9)
+    assert((1 to 9).forall(i => !r(s"g$i").getAs[Boolean]("is_anomaly")))
+
+    // constant metric except one group: MAD = 0, direct inequality flags it
+    val flat = (Seq.fill(7)(10.0) :+ 99.0).zipWithIndex
+      .map { case (v, i) => (s"g$i", v) }.toDF("g", "m")
+    val r2 = TableChecks.groupAnomalies(flat, "g", "m")
+      .collect().map(x => (x.getAs[String]("g"), x)).toMap
+    assert(r2("g7").getAs[Boolean]("is_anomaly") &&
+      r2("g7").isNullAt(r2("g7").fieldIndex("mz")))
+    assert(!r2("g0").getAs[Boolean]("is_anomaly"))
+  }
+
   test("tokenUnigramDrift: identical distribution ~0, shifted mass > 0") {
     val base = (1 to 100).map(i => (i, Seq(i % 4, i % 4 + 4))).toDF("id", "tokens")
     val same = TableChecks.tokenUnigramDrift(base, base, "tokens").head()
