@@ -21,7 +21,9 @@ object PlanAudit {
       "q_pii_scan", "q_gopher_filter", "q_semantic_dedup",
       "q_chunk_split", "q_pack_assign", "q_packed_seqs", "q_shard_order",
       "q_heavy_hitters", "q_histogram_nchars", "q_entropy_source",
-      "q_incremental_manifest")
+      "q_incremental_manifest",
+      "q_token_drift", "q_token_drift_by", "q_expectations_by",
+      "q_group_anomaly", "q_infer_profile")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute first: under AQE the pre-execution plan is the INITIAL one,

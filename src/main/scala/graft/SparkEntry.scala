@@ -180,6 +180,19 @@ object SparkEntry {
           col("lo"), col("hi"), col("passed"))
     }),
 
+    // ---- per-partition expectation verdicts: every source must
+    //      individually satisfy the gate (one grouped pass) ----
+    "q_expectations_by" -> ((s, dir) => {
+      import graft.table.Expectations._
+      graft.table.Expectations.checkBy(t(s, dir, "documents"), "source", Seq(
+        RowCountBetween(1L, 1000000L),
+        MeanBetween("n_chars", 0.0, 300.0),
+        NullRateMax("lang", 0.0)))
+        .select(col("source"), col("expectation"),
+          round(col("observed"), 6).as("observed"),
+          col("lo"), col("hi"), col("passed"))
+    }),
+
     // ---- dataset-scope: robust per-group anomaly flags (median/MAD
     //      modified z-score over a grouped metric — "which partition is
     //      broken" applied to per-source mean document length) ----
@@ -881,6 +894,18 @@ object SparkEntry {
              (quantile_cont(n_chars, 0.5) >= 1.0
                AND quantile_cont(n_chars, 0.5) <= 100000.0) FROM documents"""
       },
+
+      "q_expectations_by" ->
+        """WITH g AS (SELECT source, count(*) c, avg(n_chars) m,
+             avg(CASE WHEN lang IS NULL THEN 1.0 ELSE 0.0 END) nr
+             FROM documents GROUP BY 1)
+           SELECT source, 'row_count_between(1,1000000)' AS expectation,
+             round(c::DOUBLE, 6) AS observed, 1.0 AS lo, 1000000.0 AS hi,
+             (c >= 1 AND c <= 1000000) AS passed FROM g
+           UNION ALL SELECT source, 'mean_between(n_chars,0.0,300.0)',
+             round(m, 6), 0.0, 300.0, (m >= 0.0 AND m <= 300.0) FROM g
+           UNION ALL SELECT source, 'null_rate_max(lang,0.0)',
+             round(nr, 6), 0.0, 0.0, nr <= 0.0 FROM g""",
 
       "q_group_anomaly" ->
         """WITH g AS (SELECT source, avg(n_chars) m FROM documents GROUP BY 1),

@@ -761,8 +761,17 @@ object ConstraintCompiler {
         simple(p, "minItems", loc("minItems"), instLoc, lit(s"array has fewer than $n items")))
       case MaxItemsK(n) => arrayPred(size(_) <= n.toInt).map(p =>
         simple(p, "maxItems", loc("maxItems"), instLoc, lit(s"array has more than $n items")))
-      case UniqueItemsK(true) => arrayPred(a => size(a) === size(array_distinct(a))).map(p =>
-        simple(p, "uniqueItems", loc("uniqueItems"), instLoc, lit("array items are not unique")))
+      case UniqueItemsK(true) =>
+        // array_distinct distinguishes -0.0 from 0.0; the reference's float64
+        // equality does not (JSON -0 == 0). Adding +0.0 normalizes the sign
+        // of zero (IEEE: -0.0 + 0.0 = +0.0) without changing any other value.
+        val dedupInput: Column => Column = dt match {
+          case ArrayType(FloatType | DoubleType, _) =>
+            a => transform(a, x => x + lit(0.0d))
+          case _ => identity
+        }
+        arrayPred(a => size(a) === size(array_distinct(dedupInput(a)))).map(p =>
+          simple(p, "uniqueItems", loc("uniqueItems"), instLoc, lit("array items are not unique")))
       case UniqueItemsK(false) => None
 
       case RequiredK(names) => dt match {

@@ -135,4 +135,30 @@ object Expectations {
   def passes(df: DataFrame, suite: Seq[Expectation],
              approxDistinct: Boolean = false): Boolean =
     check(df, suite, approxDistinct).filter(!col("passed")).isEmpty
+
+  /** Per-partition expectation suite: evaluate every expectation within each
+    * group of `byCol` — the per-partition verdict form of [[check]] ("every
+    * source must individually satisfy the health gate", not just the table in
+    * aggregate). One row per (group, expectation).
+    *
+    * Scale shape: ONE grouped aggregation pass (map-side combined, one
+    * exchange on `byCol`); the per-expectation verdict projections run over
+    * the |groups|-sized aggregate, unioned — still |groups × expectations|
+    * rows total, never a second scan of the data. */
+  def checkBy(df: DataFrame, byCol: String, suite: Seq[Expectation],
+              approxDistinct: Boolean = false): DataFrame = {
+    require(suite.nonEmpty, "empty expectation suite")
+    val low = suite.map(if (approxDistinct) loweredApprox else lowered)
+    val aggs = low.zipWithIndex.map { case ((c, _, _), i) => c.as(s"_e$i") }
+    val grouped = df.groupBy(col(byCol)).agg(aggs.head, aggs.tail: _*)
+      // |groups|-sized; reused by every per-expectation projection below
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = suite.zip(low).zipWithIndex.map { case ((e, (_, lo, hi)), i) =>
+      val obs = col(s"_e$i").cast(DoubleType)
+      grouped.select(col(byCol), lit(e.name).as("expectation"),
+        obs.as("observed"), lit(lo).as("lo"), lit(hi).as("hi"),
+        coalesce(obs >= lo && obs <= hi, lit(false)).as("passed"))
+    }.reduce(_ unionByName _)
+    out
+  }
 }

@@ -62,6 +62,28 @@ class ExpectationsSpec extends SparkSpec {
     assert(r2.forall(_.getBoolean(4)))
   }
 
+  test("checkBy: per-group verdicts match per-group check()") {
+    val data = Seq(
+      ("a", 10), ("a", 20), ("a", 30),          // mean 20
+      ("b", 100), ("b", 200), ("b", 300), ("b", 400) // mean 250
+    ).toDF("g", "n")
+    val suite = Seq(
+      MeanBetween("n", 0.0, 100.0),   // a passes, b fails
+      RowCountBetween(3, 3),          // a passes, b fails
+      MinAtLeast("n", 50.0))          // a fails, b passes
+    val r = Expectations.checkBy(data, "g", suite)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getBoolean(5)).toMap
+    assert(r(("a", "mean_between(n,0.0,100.0)")) && !r(("b", "mean_between(n,0.0,100.0)")))
+    assert(r(("a", "row_count_between(3,3)")) && !r(("b", "row_count_between(3,3)")))
+    assert(!r(("a", "min_at_least(n,50.0)")) && r(("b", "min_at_least(n,50.0)")))
+    // agrees with running check() on each group separately
+    for (g <- Seq("a", "b")) {
+      val solo = Expectations.check(data.filter(col("g") === g), suite)
+        .collect().map(x => x.getString(0) -> x.getBoolean(4)).toMap
+      solo.foreach { case (name, p) => assert(r((g, name)) == p, s"$g/$name") }
+    }
+  }
+
   test("approxDistinct keeps the verdict with sketch-tolerant thresholds") {
     val many = (1 to 1000).map(i => s"v$i").toDF("c")
     val r = Expectations.check(many,
