@@ -382,9 +382,16 @@ object IncrementalValidation {
       else fs(root).listStatus(root).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("batch="))
     private def isEmpty(root: Path): Boolean = batchNames(root).isEmpty
-    private def readAll(root: Path): DataFrame =
+    private def readAll(root: Path): DataFrame = {
+      // explicit committed-batch paths, not a glob: globs trip Spark's
+      // FileStreamSink metadata probe into logging spurious
+      // FileNotFoundException warns, and an explicit list can never race a
+      // concurrent staging rename
+      val paths = batchNames(root).map(n => new Path(root, n).toString)
+      require(paths.nonEmpty, s"no committed state batches under $root")
       spark.read.option("basePath", root.toString)
-        .parquet(new Path(root, "batch=*").toString).drop("batch")
+        .parquet(paths: _*).drop("batch")
+    }
 
     def appendState(rows: DataFrame, snapId: Long): Unit = append(stateDir, rows, snapId)
     def appendDist(rows: DataFrame, snapId: Long): Unit = append(distDir, rows, snapId)

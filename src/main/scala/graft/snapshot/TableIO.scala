@@ -164,7 +164,7 @@ final class ManifestStore(spark: SparkSession, root: String) {
     val batch = java.util.UUID.randomUUID().toString
     // write to a staging dir, then one atomic rename into the visible
     // batch=* namespace — a crashed append leaves only invisible staging
-    // files (readAll globs batch=*), never a partial batch
+    // files (readAll lists batch= dirs only), never a partial batch
     val staging = new Path(manifestDir, s"_staging-$batch")
     val target = new Path(manifestDir, s"batch=$batch")
     // manifest batches are partition-count-sized — one file per append keeps
@@ -174,13 +174,19 @@ final class ManifestStore(spark: SparkSession, root: String) {
       throw new java.io.IOException(s"manifest commit rename failed: $target")
   }
 
-  def isEmpty: Boolean =
-    !fs.exists(manifestDir) || fs.listStatus(manifestDir).isEmpty
+  private def batchPaths: Seq[String] =
+    if (!fs.exists(manifestDir)) Seq.empty
+    else fs.listStatus(manifestDir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("batch=")).map(_.toString)
+
+  def isEmpty: Boolean = batchPaths.isEmpty
 
   def readAll(): DataFrame = {
-    require(!isEmpty, s"manifest at $manifestDir is empty")
-    spark.read.option("basePath", manifestDir.toString)
-      .parquet(new Path(manifestDir, "batch=*").toString)
+    // explicit committed-batch paths, not a glob (a glob would both log
+    // spurious FileStreamSink warns and see uncommitted _staging dirs race by)
+    val paths = batchPaths
+    require(paths.nonEmpty, s"manifest at $manifestDir is empty")
+    spark.read.option("basePath", manifestDir.toString).parquet(paths: _*)
   }
 
   /** Partitions already completed for `runId` (tiny: one row per partition). */

@@ -3,6 +3,8 @@ package graft.table
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Declarative dataset-scope expectation suite — the dataset-level analogue
   * of the row engine's keyword model (and of production tools like Great
@@ -69,6 +71,69 @@ object Expectations {
   final case class QuantileBetween(column: String, p: Double,
                                    lo: Double, hi: Double) extends Expectation {
     def name = s"quantile_between($column,$p,$lo,$hi)"
+  }
+
+  /** Parse a JSON expectation suite — the declarative front door, so a
+    * standing job configures its snapshot health gate from a file the way the
+    * row engine configures from a schema document. Format: an array of
+    * objects, each `{"kind": "...", ...args}` with kinds/args mirroring the
+    * case classes 1:1 (snake_case kind, e.g.
+    * `{"kind":"null_rate_max","column":"lang","max":0.0}`,
+    * `{"kind":"values_in_set","column":"lang","allowed":["en"],"max_out_rate":0.1}`).
+    * Unknown kinds or missing args fail fast with the offending entry. */
+  def fromJson(json: String): Seq[Expectation] = {
+    def num(v: JValue, what: String): Double = v match {
+      case JInt(i) => i.toDouble
+      case JLong(l) => l.toDouble
+      case JDouble(d) => d
+      case JDecimal(d) => d.toDouble
+      case other => throw new IllegalArgumentException(s"$what: expected number, got $other")
+    }
+    def lng(v: JValue, what: String): Long = v match {
+      case JInt(i) => i.toLong
+      case JLong(l) => l
+      case other => throw new IllegalArgumentException(s"$what: expected integer, got $other")
+    }
+    def str(v: JValue, what: String): String = v match {
+      case JString(s) => s
+      case other => throw new IllegalArgumentException(s"$what: expected string, got $other")
+    }
+    val JArray(entries) = (JsonMethods.parse(json): @unchecked)
+    entries.map { e =>
+      def f(n: String): JValue = e \ n match {
+        case JNothing => throw new IllegalArgumentException(
+          s"expectation ${JsonMethods.compact(JsonMethods.render(e))}: missing '$n'")
+        case v => v
+      }
+      def opt(n: String, dflt: Double): Double =
+        e \ n match { case JNothing => dflt; case v => num(v, n) }
+      str(f("kind"), "kind") match {
+        case "row_count_between" =>
+          RowCountBetween(lng(f("lo"), "lo"), lng(f("hi"), "hi"))
+        case "null_rate_max" =>
+          NullRateMax(str(f("column"), "column"), num(f("max"), "max"))
+        case "min_at_least" =>
+          MinAtLeast(str(f("column"), "column"), num(f("v"), "v"))
+        case "max_at_most" =>
+          MaxAtMost(str(f("column"), "column"), num(f("v"), "v"))
+        case "mean_between" =>
+          MeanBetween(str(f("column"), "column"), num(f("lo"), "lo"), num(f("hi"), "hi"))
+        case "distinct_count_between" =>
+          DistinctCountBetween(str(f("column"), "column"),
+            lng(f("lo"), "lo"), lng(f("hi"), "hi"))
+        case "values_in_set" =>
+          val JArray(vals) = (f("allowed"): @unchecked)
+          ValuesInSet(str(f("column"), "column"),
+            vals.map(str(_, "allowed[]")), opt("max_out_rate", 0.0))
+        case "match_regex_rate" =>
+          MatchRegexRate(str(f("column"), "column"), str(f("regex"), "regex"),
+            num(f("min_rate"), "min_rate"))
+        case "quantile_between" =>
+          QuantileBetween(str(f("column"), "column"), num(f("p"), "p"),
+            num(f("lo"), "lo"), num(f("hi"), "hi"))
+        case other => throw new IllegalArgumentException(s"unknown expectation kind '$other'")
+      }
+    }
   }
 
   /** The aggregate observation an expectation needs, plus its acceptance

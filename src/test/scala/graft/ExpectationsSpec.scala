@@ -84,6 +84,32 @@ class ExpectationsSpec extends SparkSpec {
     }
   }
 
+  test("fromJson round-trips every kind and fails fast on bad entries") {
+    val suite = Expectations.fromJson("""[
+      {"kind":"row_count_between","lo":5,"hi":5},
+      {"kind":"null_rate_max","column":"lang","max":0.0},
+      {"kind":"min_at_least","column":"n","v":10.0},
+      {"kind":"max_at_most","column":"n","v":50.0},
+      {"kind":"mean_between","column":"n","lo":29.0,"hi":31.0},
+      {"kind":"distinct_count_between","column":"lang","lo":4,"hi":4},
+      {"kind":"values_in_set","column":"lang","allowed":["en","de","fr"],"max_out_rate":0.2},
+      {"kind":"match_regex_rate","column":"id","regex":"^[a-z]$","min_rate":1.0},
+      {"kind":"quantile_between","column":"n","p":0.5,"lo":30.0,"hi":30.0}
+    ]""")
+    assert(suite.size == 9)
+    assert(Expectations.passes(df, suite))
+    // defaulted max_out_rate = 0.0
+    assert(Expectations.fromJson(
+      """[{"kind":"values_in_set","column":"c","allowed":["x"]}]""").head ==
+      ValuesInSet("c", Seq("x"), 0.0))
+    intercept[IllegalArgumentException] {
+      Expectations.fromJson("""[{"kind":"no_such_kind"}]""")
+    }
+    intercept[IllegalArgumentException] {
+      Expectations.fromJson("""[{"kind":"null_rate_max","column":"c"}]""")
+    }
+  }
+
   test("approxDistinct keeps the verdict with sketch-tolerant thresholds") {
     val many = (1 to 1000).map(i => s"v$i").toDF("c")
     val r = Expectations.check(many,
