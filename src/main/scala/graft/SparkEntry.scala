@@ -318,6 +318,25 @@ object SparkEntry {
         col("violation_count"), col("verdict"))
     }),
 
+    // ---- full pipeline with a per-partition expectation suite riding the
+    //      stats aggregation: the mean-n_tok gate fails for some sources ----
+    "q_pipeline_expectations" -> ((s, dir) => {
+      import s.implicits._
+      val dim = (0 to 15).map(i => s"src$i").toDF("source")
+      val res = graft.run.ValidationPipeline.run(
+        s, tokenSeqs(s, dir), Some(dim), None,
+        graft.run.PipelineConfig(schemaJson = docSchemaJson, partCol = "source",
+          expectations = Seq(
+            graft.table.Expectations.MeanBetween("n_tok", 0.0, 55.0),
+            graft.table.Expectations.NullRateMax("source", 0.0))),
+        runId = "verify-exp")
+      res.manifest.select(col("partition_key"), col("row_count"),
+        col("violation_count"),
+        element_at(col("metrics"), "expectations_failed").cast("long")
+          .as("expectations_failed"),
+        col("verdict"))
+    }),
+
     // ---- skew diagnosis: Misra-Gries candidates + exact second pass ----
     "q_heavy_hitters" -> ((s, dir) =>
       TableChecks.heavyHitters(t(s, dir, "events"), "user_id", minShare = 0.008)
@@ -1092,6 +1111,26 @@ object SparkEntry {
              FROM ts GROUP BY 1)
            SELECT source AS partition_key, row_count::BIGINT AS row_count,
              viol::BIGINT AS violation_count, viol = 0 AS verdict FROM v""",
+
+      "q_pipeline_expectations" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents),
+           v AS (SELECT source,
+             count(*) AS row_count,
+             count(*) FILTER (WHERE n_tok > 80)
+               + coalesce(sum(len(list_filter(toks, t -> t > 3900))), 0)
+               + 2 * count(*) FILTER (WHERE source NOT IN ($allowedSrc)) AS viol,
+             avg(n_tok) AS mean_ntok,
+             avg(CASE WHEN source IS NULL THEN 1.0 ELSE 0.0 END) AS nr_source
+             FROM ts GROUP BY 1)
+           SELECT source AS partition_key, row_count::BIGINT AS row_count,
+             viol::BIGINT AS violation_count,
+             ((CASE WHEN mean_ntok >= 0.0 AND mean_ntok <= 55.0 THEN 0 ELSE 1 END)
+              + (CASE WHEN nr_source <= 0.0 THEN 0 ELSE 1 END))::BIGINT
+               AS expectations_failed,
+             (viol = 0 AND mean_ntok >= 0.0 AND mean_ntok <= 55.0
+              AND nr_source <= 0.0) AS verdict
+           FROM v""",
 
       "q_heavy_hitters" ->
         """WITH src AS (SELECT user_id::VARCHAR AS item FROM events

@@ -23,6 +23,14 @@ import org.apache.spark.sql.types._
   * @param ksThreshold    per-partition KS statistic above this fails drift
   * @param chi2PMin       chi-squared p-value below this fails drift
   * @param saltBuckets    salt fan-out for the uniqueness pre-aggregation
+  * @param expectations   declarative dataset-scope expectation suite
+  *                       ([[graft.table.Expectations]]) evaluated PER
+  *                       PARTITION, riding the same stats aggregation (zero
+  *                       extra passes): each partition's `metrics` map gains
+  *                       `expectations_failed` and the verdict additionally
+  *                       requires every expectation to hold. Batch pipeline
+  *                       only — [[IncrementalValidation]]'s merged manifests
+  *                       do not yet fold expectation state.
   * @param persistDigest  cache the narrow scan digest (MEMORY_AND_DISK)
   *                       across the pipeline's check families. The digest is
   *                       scalar columns + flags + (rare) invalid-row payloads
@@ -46,6 +54,7 @@ final case class PipelineConfig(
     ksThreshold: Double = 0.1,
     chi2PMin: Double = 0.001,
     saltBuckets: Int = 64,
+    expectations: Seq[graft.table.Expectations.Expectation] = Seq.empty,
     persistDigest: Boolean = true)
 
 final case class PipelineResult(violations: DataFrame, manifest: DataFrame)
@@ -122,7 +131,8 @@ object ValidationPipeline {
     // digest is a few % of the input bytes at production violation rates.
     val scalarCols: Seq[String] =
       (Seq(cfg.partCol, cfg.idCol) ++ cfg.uniqueKey ++ cfg.riKey ++
-        cfg.statsCols ++ cfg.quantileCol ++ cfg.driftNumCol ++ cfg.driftCatCol)
+        cfg.statsCols ++ cfg.quantileCol ++ cfg.driftNumCol ++ cfg.driftCatCol ++
+        cfg.expectations.flatMap(graft.table.Expectations.columnOf))
         .distinct.filter(pending.columns.contains)
     val rowStruct = struct(pending.columns.toIndexedSeq.map(col): _*)
     val valid = RowValidator.validity(pending, doc)
@@ -189,6 +199,7 @@ object ValidationPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---------------- 5. per-partition column stats (one digest hash agg) ----------------
+    val expLowered = cfg.expectations.map(graft.table.Expectations.lowered)
     val statAggs: Seq[Column] = cfg.statsCols.flatMap { c =>
       val isNum = digest.schema(c).dataType.isInstanceOf[NumericType]
       Seq(
@@ -200,6 +211,9 @@ object ValidationPipeline {
     } ++ cfg.quantileCol.toSeq.map { qc =>
       // t-digest sketch (north star): one mergeable digest per partition group
       graft.functions.TDigestQuantiles(col(qc), Seq(0.5, 0.95, 0.99)).as(s"_tdq_$qc")
+    } ++ expLowered.zipWithIndex.map { case ((c, _, _), i) =>
+      // expectation observations ride the SAME per-partition aggregation
+      c.as(s"_exp$i")
     }
     val stats0 = digest.groupBy(part)
       .agg(count(lit(1)).as("row_count"), statAggs: _*)
@@ -278,6 +292,17 @@ object ValidationPipeline {
     ksByPart.foreach(k => m = m.join(k, Seq(cfg.partCol), "left_outer"))
     chi2ByPart.foreach(c => m = m.join(c, Seq(cfg.partCol), "left_outer"))
 
+    // per-partition expectation verdicts from the observations that rode the
+    // stats aggregation: failed = observed null or outside [lo, hi]
+    if (expLowered.nonEmpty) {
+      val failed = expLowered.zipWithIndex.map { case ((_, lo, hi), i) =>
+        val obs = col(s"_exp$i").cast(DoubleType)
+        when(coalesce(obs >= lo && obs <= hi, lit(false)), 0L).otherwise(1L)
+      }.reduce(_ + _)
+      m = m.withColumn("expectations_failed", failed)
+        .drop(expLowered.indices.map(i => s"_exp$i"): _*)
+    }
+
     val metricCols = m.columns.filterNot(c =>
       c == cfg.partCol || c == "row_count" || c == "violation_count")
     val chi2P = if (m.columns.contains("chi2_stat"))
@@ -294,6 +319,8 @@ object ValidationPipeline {
         v = v && coalesce(col("ks_stat") <= cfg.ksThreshold, lit(true))
       if (m.columns.contains("chi2_stat"))
         v = v && coalesce(col("chi2_p") >= cfg.chi2PMin, lit(true))
+      if (m.columns.contains("expectations_failed"))
+        v = v && col("expectations_failed") === 0L
       v
     }
 

@@ -154,6 +154,24 @@ object StreamingValidation {
           (lit(c1) - col("s1"))).as("psi"))
   }
 
+  /** Per-window TOKEN-level unigram drift against a STATIC baseline corpus —
+    * the streaming form of [[graft.table.TableChecks.tokenUnigramDrift]]:
+    * PSI of each window's token-frequency distribution vs the baseline's,
+    * over the vocabulary as the category domain (catches a tokenizer or
+    * encoding regression within one window of it landing).
+    *
+    * The explode is STATELESS and precedes the watermark/window, so state
+    * stays O(windows × vocab) partial counts — never O(tokens); everything
+    * else is [[windowedPsi]]'s sum-decomposed chained windowed aggregation
+    * (append-mode compatible, one shuffle per window batch). */
+  def windowedTokenDrift(stream: DataFrame, baseline: DataFrame, tokensCol: String,
+                         eventTimeCol: String, windowDuration: String,
+                         watermarkDelay: String, eps: Double = 1e-6): DataFrame =
+    windowedPsi(
+      stream.select(col(eventTimeCol), explode(col(tokensCol)).as("tok")),
+      baseline.select(explode(col(tokensCol)).as("tok")),
+      "tok", eventTimeCol, windowDuration, watermarkDelay, eps)
+
   /** Per-window QUANTILE drift of a numeric column against a STATIC
     * baseline — the streaming form of the manifest's t-digest quantile
     * metrics. Baseline quantiles are computed exactly ONCE at stream setup

@@ -136,9 +136,23 @@ object Expectations {
     }
   }
 
+  /** The input column an expectation reads, if any (RowCountBetween: none) —
+    * lets ValidationPipeline include expectation columns in its scan digest. */
+  private[graft] def columnOf(e: Expectation): Option[String] = e match {
+    case RowCountBetween(_, _) => None
+    case NullRateMax(c, _) => Some(c)
+    case MinAtLeast(c, _) => Some(c)
+    case MaxAtMost(c, _) => Some(c)
+    case MeanBetween(c, _, _) => Some(c)
+    case DistinctCountBetween(c, _, _) => Some(c)
+    case ValuesInSet(c, _, _) => Some(c)
+    case MatchRegexRate(c, _, _) => Some(c)
+    case QuantileBetween(c, _, _, _) => Some(c)
+  }
+
   /** The aggregate observation an expectation needs, plus its acceptance
     * bounds: passed = lo ≤ observed ≤ hi (NaN observed never passes). */
-  private def lowered(e: Expectation): (Column, Double, Double) = e match {
+  private[graft] def lowered(e: Expectation): (Column, Double, Double) = e match {
     case RowCountBetween(lo, hi) =>
       (count(lit(1)).cast(DoubleType), lo.toDouble, hi.toDouble)
     case NullRateMax(c, mx) =>
@@ -158,7 +172,7 @@ object Expectations {
       (expr(s"percentile($c, ${p}D)").cast(DoubleType), lo, hi)
   }
 
-  private def loweredApprox(e: Expectation): (Column, Double, Double) = e match {
+  private[graft] def loweredApprox(e: Expectation): (Column, Double, Double) = e match {
     case DistinctCountBetween(c, lo, hi) =>
       (approx_count_distinct(col(c)).cast(DoubleType), lo.toDouble, hi.toDouble)
     case other => lowered(other)

@@ -32,6 +32,26 @@ class PipelineSpec extends SparkSpec {
     assert(m.map(_.getAs[Long]("row_count")).sum == 2000)
   }
 
+  test("per-partition expectation suite rides the pipeline and gates verdicts") {
+    import graft.table.Expectations._
+    val facts = gen(2000, 7L, 0.0, 8)
+    // clean data, but an impossible mean gate: every partition must fail on
+    // expectations alone (violation_count stays 0)
+    val strict = cfg.copy(expectations =
+      Seq(MeanBetween("n_tok", 0.0, 0.5), NullRateMax("source", 0.0)))
+    val r = ValidationPipeline.run(spark, facts, Some(dim), None, strict, "run-exp")
+    val m = r.manifest.collect()
+    assert(m.forall(_.getAs[Long]("violation_count") == 0L))
+    assert(m.forall(!_.getAs[Boolean]("verdict")))
+    assert(m.forall(_.getAs[Map[String, Double]]("metrics")
+      .get("expectations_failed").contains(1.0)))
+    // a satisfiable suite leaves the clean verdicts standing
+    val lax = cfg.copy(expectations =
+      Seq(MeanBetween("n_tok", 0.0, 1e9), NullRateMax("source", 0.0)))
+    val r2 = ValidationPipeline.run(spark, facts, Some(dim), None, lax, "run-exp2")
+    assert(r2.manifest.collect().forall(_.getAs[Boolean]("verdict")))
+  }
+
   test("1% injected violations: every violation family detected, verdicts fail") {
     val rows = 20000L
     val r = ValidationPipeline.run(spark, gen(rows, 42L, 0.01, 8), Some(dim),

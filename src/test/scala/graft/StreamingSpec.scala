@@ -117,6 +117,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed token drift matches the batch tokenUnigramDrift on the same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamRow]
+    val baseline = Seq(Seq(1, 2), Seq(1, 3), Seq(2, 3)).toDF("tokens")
+    val out = StreamingValidation.windowedTokenDrift(
+      input.toDF(), baseline, "tokens", "ts", "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("tokwin")
+      .outputMode("append").start()
+    try {
+      // window [0,10): tokens {1,1,4,4} — 4 is unknown to the baseline;
+      // window [10,20): same mix as the baseline → psi = 0
+      input.addData(
+        StreamRow(uuidA, Array(1, 4), 2, "web", ts(0)),
+        StreamRow(uuidA, Array(1, 4), 2, "web", ts(3)),
+        StreamRow(uuidA, Array(1, 2), 2, "web", ts(12)),
+        StreamRow(uuidA, Array(1, 3), 2, "web", ts(13)),
+        StreamRow(uuidA, Array(2, 3), 2, "web", ts(14)))
+      q.processAllAvailable()
+      input.addData(StreamRow(uuidA, Array(1), 1, "web", ts(100)))
+      q.processAllAvailable()
+      val m = spark.sql("select w_start, psi from tokwin")
+        .collect().map(r => r.getTimestamp(0).getTime -> r.getDouble(1)).toMap
+      val w0 = ts(0).getTime - (ts(0).getTime % 10000)
+      val w1 = w0 + 10000
+      val exp0 = graft.table.TableChecks.tokenUnigramDrift(
+        Seq(Seq(1, 4), Seq(1, 4)).toDF("tokens"), baseline, "tokens")
+        .collect()(0).getDouble(0)
+      assert(math.abs(m(w0) - exp0) < 1e-9, s"w0: ${m(w0)} vs batch $exp0")
+      assert(math.abs(m(w1) - 0.0) < 1e-12, s"w1: ${m(w1)}")
+    } finally q.stop()
+  }
+
   test("windowed PSI drift matches the batch psiDrift on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
