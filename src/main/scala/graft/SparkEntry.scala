@@ -337,6 +337,11 @@ object SparkEntry {
         col("verdict"))
     }),
 
+    // ---- composite-key uniqueness: (source, lang) tuple counts ----
+    "q_dup_composite" -> ((s, dir) =>
+      TableChecks.duplicatesComposite(t(s, dir, "documents"), Seq("source", "lang"))
+        .select(col("source"), col("lang"), col("cnt"))),
+
     // ---- skew diagnosis: Misra-Gries candidates + exact second pass ----
     "q_heavy_hitters" -> ((s, dir) =>
       TableChecks.heavyHitters(t(s, dir, "events"), "user_id", minShare = 0.008)
@@ -1111,6 +1116,11 @@ object SparkEntry {
              FROM ts GROUP BY 1)
            SELECT source AS partition_key, row_count::BIGINT AS row_count,
              viol::BIGINT AS violation_count, viol = 0 AS verdict FROM v""",
+
+      "q_dup_composite" ->
+        """SELECT source, lang, count(*)::BIGINT AS cnt FROM documents
+           WHERE source IS NOT NULL OR lang IS NOT NULL
+           GROUP BY 1, 2 HAVING count(*) > 1""",
 
       "q_pipeline_expectations" ->
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,

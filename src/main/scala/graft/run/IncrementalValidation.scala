@@ -82,7 +82,8 @@ object IncrementalValidation {
     // payload read once; invalid rows carry the full row for phase-2) ----
     val scalarCols: Seq[String] =
       (Seq(cfg.partCol, cfg.idCol) ++ cfg.uniqueKey ++ cfg.riKey ++
-        cfg.statsCols ++ cfg.quantileCol ++ cfg.driftNumCol ++ cfg.driftCatCol)
+        cfg.statsCols ++ cfg.quantileCol ++ cfg.driftNumCol ++ cfg.driftCatCol ++
+        cfg.expectations.flatMap(graft.table.Expectations.columnOf))
         .distinct.filter(delta.columns.contains)
     val rowStruct = struct(delta.columns.toIndexedSeq.map(col): _*)
     val valid = RowValidator.validity(delta, doc)
@@ -147,6 +148,9 @@ object IncrementalValidation {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- delta mergeable state: ONE hash aggregation of the digest ----
+    val expMergeable = cfg.expectations.zipWithIndex.map { case (e, i) =>
+      graft.table.Expectations.loweredMergeable(e, i.toString)
+    }
     val statAggs: Seq[Column] = cfg.statsCols.filter(digest.columns.contains).flatMap { c =>
       val dt = digest.schema(c).dataType
       // hll_sketch_agg accepts integral/string/binary — everything else goes
@@ -163,7 +167,11 @@ object IncrementalValidation {
         else Nil)
     } ++ cfg.quantileCol.toSeq.map { qc =>
       graft.functions.TDigestSketch(col(qc)).as(s"tdq_$qc")
-    }
+    } ++ expMergeable.flatMap(_.state)
+    // expectation sufficient statistics ride the same delta aggregation:
+    // counts/sums/min/max fold losslessly across appends, distinct via HLL
+    // union, quantiles via t-digest merge — the standing job's expectation
+    // verdicts never need a rescan
     val violByPart = violations.groupBy(part).agg(count(lit(1)).as("violation_count"))
     val deltaState = digest.groupBy(part)
       .agg(count(lit(1)).as("row_count"), statAggs: _*)
@@ -226,19 +234,40 @@ object IncrementalValidation {
                              baseline: Option[DataFrame], cfg: PipelineConfig,
                              runId: String, snapshotId: Long): DataFrame = {
     val all = state.readState()
-    val statCols = cfg.statsCols.filter(c => all.columns.contains(s"hll_$c"))
+    // merge ONLY state columns present in EVERY batch: a column introduced
+    // mid-history (suite/statsCols config change) has no folded meaning for
+    // the older deltas — and `all`'s schema resolution is nondeterministic
+    // about it (parquet picks one file's schema and null-fills the rest, so
+    // a column test on `all` could silently fold over only the newer
+    // deltas). `carriedStateCols` is a footer read per batch, never a scan.
+    val carried = state.carriedStateCols
+    val statCols = cfg.statsCols.filter(c => carried.contains(s"hll_$c"))
+    val expMergeable = cfg.expectations.zipWithIndex.map { case (e, i) =>
+      graft.table.Expectations.loweredMergeable(e, i.toString)
+    }
+    val expUsable = expMergeable.nonEmpty &&
+      expMergeable.flatMap(_.stateNames).forall(carried.contains)
     val mergeAggs: Seq[Column] =
       Seq(sum("violation_count").as("violation_count")) ++
       statCols.flatMap { c =>
         Seq(sum(col(s"null_count_$c")).as(s"null_count_$c"),
           hll_union_agg(col(s"hll_$c")).as(s"hll_$c")) ++
-          (if (all.columns.contains(s"min_$c"))
+          (if (carried.contains(s"min_$c"))
             Seq(min(col(s"min_$c")).as(s"min_$c"), max(col(s"max_$c")).as(s"max_$c"))
           else Nil)
-      } ++ cfg.quantileCol.filter(qc => all.columns.contains(s"tdq_$qc")).toSeq
-        .map(qc => graft.functions.TDigestMerge(col(s"tdq_$qc")).as(s"tdq_$qc"))
+      } ++ cfg.quantileCol.filter(qc => carried.contains(s"tdq_$qc")).toSeq
+        .map(qc => graft.functions.TDigestMerge(col(s"tdq_$qc")).as(s"tdq_$qc")) ++
+      (if (expUsable) expMergeable.flatMap(_.merge) else Nil)
     var m = all.groupBy("partition_key")
       .agg(sum("row_count").as("row_count"), mergeAggs: _*)
+    if (expUsable) {
+      val failed = expMergeable.map { me =>
+        when(coalesce(me.observed >= me.lo && me.observed <= me.hi, lit(false)), 0L)
+          .otherwise(1L)
+      }.reduce(_ + _)
+      m = m.withColumn("expectations_failed", failed)
+        .drop(expMergeable.flatMap(_.stateNames): _*)
+    }
     // derived metrics (manifest-sized evaluation)
     val qOf = udf((b: Array[Byte], p: Double) => graft.functions.TDigestBytes.quantile(b, p))
     statCols.foreach { c =>
@@ -326,6 +355,8 @@ object IncrementalValidation {
         v = v && coalesce(col("ks_stat") <= cfg.ksThreshold, lit(true))
       if (m.columns.contains("chi2_stat"))
         v = v && coalesce(col("chi2_p") >= cfg.chi2PMin, lit(true))
+      if (m.columns.contains("expectations_failed"))
+        v = v && col("expectations_failed") === 0L
       v
     }
 
@@ -391,6 +422,15 @@ object IncrementalValidation {
       require(paths.nonEmpty, s"no committed state batches under $root")
       spark.read.option("basePath", root.toString)
         .parquet(paths: _*).drop("batch")
+    }
+
+    /** Column names present in EVERY committed state batch — the set the
+      * merge may legally fold. One parquet footer read per batch (the batch
+      * list is runs-sized), never a data scan. */
+    def carriedStateCols: Set[String] = {
+      val schemas = batchNames(stateDir).map(n =>
+        spark.read.parquet(new Path(stateDir, n).toString).schema.fieldNames.toSet)
+      if (schemas.isEmpty) Set.empty else schemas.reduce(_ intersect _)
     }
 
     def appendState(rows: DataFrame, snapId: Long): Unit = append(stateDir, rows, snapId)

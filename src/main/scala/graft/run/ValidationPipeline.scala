@@ -28,9 +28,12 @@ import org.apache.spark.sql.types._
   *                       PARTITION, riding the same stats aggregation (zero
   *                       extra passes): each partition's `metrics` map gains
   *                       `expectations_failed` and the verdict additionally
-  *                       requires every expectation to hold. Batch pipeline
-  *                       only — [[IncrementalValidation]]'s merged manifests
-  *                       do not yet fold expectation state.
+  *                       requires every expectation to hold.
+  *                       [[IncrementalValidation]] folds the same suite
+  *                       across appends via sufficient statistics
+  *                       (counts/sums/min/max exactly; distinct via HLL
+  *                       union, quantiles via t-digest merge) — provided
+  *                       every run in the state dir carried the suite.
   * @param persistDigest  cache the narrow scan digest (MEMORY_AND_DISK)
   *                       across the pipeline's check families. The digest is
   *                       scalar columns + flags + (rare) invalid-row payloads

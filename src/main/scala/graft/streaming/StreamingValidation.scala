@@ -172,6 +172,37 @@ object StreamingValidation {
       baseline.select(explode(col(tokensCol)).as("tok")),
       "tok", eventTimeCol, windowDuration, watermarkDelay, eps)
 
+  /** Per-window EXPECTATION suite — the streaming form of
+    * [[graft.table.Expectations.check]]: every expectation evaluated within
+    * each event-time window, one verdict row per (window, expectation).
+    * The whole suite rides ONE windowed aggregation (same lowering as the
+    * batch form), so state is O(windows × expectations).
+    *
+    * [[graft.table.Expectations.DistinctCountBetween]] is rejected:
+    * streaming aggregations cannot hold exact distinct state — use the
+    * approx form by pre-aggregating, or check it on the batch snapshot. */
+  def windowedExpectations(stream: DataFrame,
+                           suite: Seq[graft.table.Expectations.Expectation],
+                           eventTimeCol: String, windowDuration: String,
+                           watermarkDelay: String): DataFrame = {
+    import graft.table.Expectations
+    require(suite.nonEmpty, "empty expectation suite")
+    require(!suite.exists(_.isInstanceOf[Expectations.DistinctCountBetween]),
+      "distinct_count_between is not streaming-expressible; evaluate it on the batch snapshot")
+    val low = suite.map(Expectations.lowered)
+    val aggs = low.zipWithIndex.map { case ((c, _, _), i) => c.as(s"_e$i") }
+    val grouped = stream.withWatermark(eventTimeCol, watermarkDelay)
+      .groupBy(window(col(eventTimeCol), windowDuration).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    suite.zip(low).zipWithIndex.map { case ((e, (_, lo, hi)), i) =>
+      val obs = col(s"_e$i").cast("double")
+      grouped.select(col("w").getField("start").as("w_start"),
+        lit(e.name).as("expectation"), obs.as("observed"),
+        lit(lo).as("lo"), lit(hi).as("hi"),
+        coalesce(obs >= lo && obs <= hi, lit(false)).as("passed"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Per-window QUANTILE drift of a numeric column against a STATIC
     * baseline — the streaming form of the manifest's t-digest quantile
     * metrics. Baseline quantiles are computed exactly ONCE at stream setup

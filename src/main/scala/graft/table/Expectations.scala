@@ -172,6 +172,61 @@ object Expectations {
       (expr(s"percentile($c, ${p}D)").cast(DoubleType), lo, hi)
   }
 
+  /** Sufficient-statistics lowering for INCREMENTAL evaluation
+    * ([[graft.run.IncrementalValidation]]): `state` aggregates one delta's
+    * rows into named columns, `merge` folds those columns across all
+    * persisted delta states, `observed` reads the merged columns back into
+    * the expectation's observation — so a standing job's expectation verdicts
+    * stay exact across appends (counts/sums/min/max fold losslessly) without
+    * ever rescanning validated data. Distinct counts merge via HLL union and
+    * quantiles via t-digest merge (`approx = true`: sketch-accurate, the
+    * same trade the manifest's own distinct/quantile metrics make). */
+  private[graft] final case class Mergeable(
+      stateNames: Seq[String], state: Seq[Column], merge: Seq[Column],
+      observed: Column, lo: Double, hi: Double, approx: Boolean)
+
+  private[graft] def loweredMergeable(e: Expectation, tag: String): Mergeable = {
+    val a = s"expst_${tag}_a"
+    val b = s"expst_${tag}_b"
+    def sumAB(sa: Column, sb: Column) = Seq(sa.as(a), sb.as(b))
+    def mergeSums = Seq(sum(col(a)).as(a), sum(col(b)).as(b))
+    e match {
+      case RowCountBetween(lo, hi) => Mergeable(Seq(a),
+        Seq(count(lit(1)).as(a)), Seq(sum(col(a)).as(a)),
+        col(a).cast(DoubleType), lo.toDouble, hi.toDouble, approx = false)
+      case NullRateMax(c, mx) => Mergeable(Seq(a, b),
+        sumAB(sum(col(c).isNull.cast(LongType)), count(lit(1))), mergeSums,
+        col(a).cast(DoubleType) / col(b), 0.0, mx, approx = false)
+      case MinAtLeast(c, v) => Mergeable(Seq(a),
+        Seq(min(col(c)).cast(DoubleType).as(a)), Seq(min(col(a)).as(a)),
+        col(a), v, Double.MaxValue, approx = false)
+      case MaxAtMost(c, v) => Mergeable(Seq(a),
+        Seq(max(col(c)).cast(DoubleType).as(a)), Seq(max(col(a)).as(a)),
+        col(a), -Double.MaxValue, v, approx = false)
+      case MeanBetween(c, lo, hi) => Mergeable(Seq(a, b),
+        sumAB(sum(col(c).cast(DoubleType)), count(col(c))), mergeSums,
+        col(a) / col(b), lo, hi, approx = false)
+      case DistinctCountBetween(c, lo, hi) => Mergeable(Seq(a),
+        Seq(hll_sketch_agg(col(c).cast(StringType)).as(a)),
+        Seq(hll_union_agg(col(a)).as(a)),
+        hll_sketch_estimate(col(a)).cast(DoubleType),
+        lo.toDouble, hi.toDouble, approx = true)
+      case ValuesInSet(c, allowed, mx) => Mergeable(Seq(a, b),
+        sumAB(sum((!col(c).cast(StringType).isin(allowed: _*)).cast(LongType)),
+          count(col(c))), mergeSums,
+        coalesce(col(a).cast(DoubleType) / col(b), lit(0.0)), 0.0, mx, approx = false)
+      case MatchRegexRate(c, re, mn) => Mergeable(Seq(a, b),
+        sumAB(sum(col(c).cast(StringType).rlike(re).cast(LongType)), count(col(c))),
+        mergeSums,
+        coalesce(col(a).cast(DoubleType) / col(b), lit(0.0)), mn, 1.0, approx = false)
+      case QuantileBetween(c, p, lo, hi) => Mergeable(Seq(a),
+        Seq(graft.functions.TDigestSketch(col(c)).as(a)),
+        Seq(graft.functions.TDigestMerge(col(a)).as(a)),
+        udf((bytes: Array[Byte]) => graft.functions.TDigestBytes.quantile(bytes, p))
+          .apply(col(a)).cast(DoubleType), lo, hi, approx = true)
+    }
+  }
+
   private[graft] def loweredApprox(e: Expectation): (Column, Double, Double) = e match {
     case DistinctCountBetween(c, lo, hi) =>
       (approx_count_distinct(col(c)).cast(DoubleType), lo.toDouble, hi.toDouble)

@@ -42,6 +42,24 @@ object TableChecks {
       .groupBy(col(key)).agg(sum("partial_cnt").as("cnt"))
       .filter(col("cnt") > 1)
 
+  /** COMPOSITE-key uniqueness: tuples of `keys` occurring more than once —
+    * the (doc_id, chunk_idx) / (source, url) case. Same two-phase salted
+    * shape as [[duplicatesSalted]]; the shuffle key is the whole tuple, so
+    * only per-tuple partial counts cross the wire. Rows where EVERY key
+    * column is null are excluded (no key to speak of); a partially-null
+    * tuple is a real key (SQL-groupBy semantics: null == null within the
+    * group). */
+  def duplicatesComposite(df: DataFrame, keys: Seq[String],
+                          salt: Int = 64): DataFrame = {
+    require(keys.nonEmpty, "composite key needs at least one column")
+    df.filter(keys.map(col(_).isNotNull).reduce(_ || _))
+      .withColumn("_salt", pmod(spark_partition_id(), lit(salt)))
+      .groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(count(lit(1)).as("partial_cnt"))
+      .groupBy(keys.map(col): _*).agg(sum("partial_cnt").as("cnt"))
+      .filter(col("cnt") > 1)
+  }
+
   /** Heavy keys of `column` (share ≥ `minShare` of non-null rows) — the skew
     * DIAGNOSIS that decides where salting / AQE skew-split is needed. Two
     * passes, O(k) aggregation state:

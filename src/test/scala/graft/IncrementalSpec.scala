@@ -188,6 +188,78 @@ class IncrementalSpec extends SparkSpec {
     assert(r3.manifest.collect().map(_.getAs[Long]("row_count")).sum == 7000L)
   }
 
+  // ------------------------------------------- incremental expectation fold
+
+  test("incremental: expectation suite folds across appends and matches the batch pipeline") {
+    import graft.table.Expectations._
+    val parts = 4
+    val a = gen(2000, 41L, 0.0, parts)
+    val b = gen(1500, 52L, 0.0, parts)
+    val suite = Seq(
+      RowCountBetween(1L, 1000000L),                                    // pass
+      NullRateMax("doc_id", 0.0),                                       // pass
+      MeanBetween("n_tok", 0.0, 200.0),                                 // FAIL (~256)
+      MinAtLeast("n_tok", 1.0),                                         // pass
+      MaxAtMost("n_tok", 512.0),                                        // pass
+      ValuesInSet("source", Seq("web", "books", "code", "wiki")),       // pass
+      MatchRegexRate("doc_id", "^[0-9a-f]{8}-", 1.0),                   // pass
+      DistinctCountBetween("doc_id", 10L, 1000000L),                    // pass (HLL)
+      QuantileBetween("n_tok", 0.5, 100.0, 400.0))                      // pass (t-digest)
+    val cfgE = cfg.copy(riKey = None, driftNumCol = None, driftCatCol = None,
+      expectations = suite)
+    val store = new AppendSnapshotStore(spark, tmp())
+    val stateDir = tmp()
+    store.commitAppend("seqs", a, "part")
+    IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, cfgE, stateDir, "run-1")
+    store.commitAppend("seqs", b, "part")
+    val r2 = IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, cfgE, stateDir, "run-2")
+
+    def failedByPart(m: DataFrame): Map[String, Double] =
+      m.collect().map { r =>
+        r.getAs[String]("partition_key") ->
+          r.getMap[String, java.lang.Double](r.fieldIndex("metrics"))("expectations_failed")
+            .doubleValue()
+      }.toMap
+
+    val incr = failedByPart(r2.manifest)
+    // batch full-table run with the same suite agrees per partition (exact
+    // sums/min/max fold losslessly; HLL/t-digest bounds are margin-safe)
+    val full = ValidationPipeline.run(spark, a.unionByName(b), None, None,
+      cfgE, "run-full")
+    assert(incr == failedByPart(full.manifest))
+    // exactly the mean expectation fails in every partition, and a failed
+    // expectation flips the merged verdict even with zero row violations
+    assert(incr.size == parts && incr.values.forall(_ == 1.0))
+    assert(r2.manifest.collect().forall(!_.getAs[Boolean]("verdict")))
+  }
+
+  test("incremental: a suite added mid-history does not fold over older deltas") {
+    import graft.table.Expectations._
+    val parts = 4
+    val store = new AppendSnapshotStore(spark, tmp())
+    val stateDir = tmp()
+    val bare = cfg.copy(riKey = None, driftNumCol = None, driftCatCol = None)
+    store.commitAppend("seqs", gen(800, 61L, 0.0, parts), "part")
+    IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, bare, stateDir, "run-1")
+    // the suite appears only for run-2; RowCountBetween over the full table
+    // would pass, but a fold over run-2's delta alone would also "pass" —
+    // the guard must refuse to fold rather than emit either answer
+    store.commitAppend("seqs", gen(400, 72L, 0.0, parts), "part")
+    val r2 = IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None,
+      bare.copy(expectations = Seq(RowCountBetween(1L, 1000000L))),
+      stateDir, "run-2")
+    val rows = r2.manifest.collect()
+    assert(rows.forall(r =>
+      !r.getMap[String, java.lang.Double](r.fieldIndex("metrics"))
+        .contains("expectations_failed")))
+    assert(rows.forall(_.getAs[Boolean]("verdict"))) // verdict unaffected
+    assert(rows.map(_.getAs[Long]("row_count")).sum == 1200L)
+  }
+
   test("incremental: cross-snapshot duplicate keys flagged without payload rescan") {
     val parts = 4
     val a = gen(500, 11L, 0.0, parts)

@@ -25,6 +25,23 @@ class SkewSpec extends SparkSpec {
     assert(phase1 === 32L) // one partial per input partition
   }
 
+  test("composite-key uniqueness: tuple duplicates, partial nulls are keys, all-null rows excluded") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1)), ("a", Some(1)),              // dup tuple
+      ("a", Some(2)),                              // unique tuple
+      ("b", None), ("b", None),                    // dup with a null member
+      (null, None), (null, None)                   // all-null: excluded
+    ).toDF("k1", "k2")
+    val dups = TableChecks.duplicatesComposite(df, Seq("k1", "k2"))
+      .collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1 else r.getInt(1)) -> r.getLong(2)).toMap
+    assert(dups == Map(("a", 1) -> 2L, ("b", -1) -> 2L))
+    // single-column composite degenerates to duplicatesSalted
+    val single = TableChecks.duplicatesComposite(df, Seq("k1"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(single == Map("a" -> 3L, "b" -> 2L))
+  }
+
   test("salted and unsalted uniqueness agree on Zipf-skewed sources") {
     val df = graft.tokens.TokenSeqs.synthesize(spark, 50000, seed = 11L,
       violationRate = 0.05, numPartitions = 16)

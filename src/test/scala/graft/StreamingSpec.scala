@@ -150,6 +150,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowed expectations match the batch suite per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.table.Expectations._
+    val input = MemoryStream[StreamRow]
+    val suite = Seq(
+      RowCountBetween(3, 3),
+      MeanBetween("n_tok", 0.0, 5.0),
+      MatchRegexRate("source", "^w", 1.0))
+    val out = StreamingValidation.windowedExpectations(
+      input.toDF(), suite, "ts", "10 seconds", "5 seconds")
+    val q = out.writeStream.format("memory").queryName("expwin")
+      .outputMode("append").start()
+    try {
+      // window [0,10): 3 rows, mean n_tok = 4, all sources 'web' → all pass
+      // window [10,20): 2 rows (count fails), mean 50 (fails), one 'books' (fails)
+      input.addData(
+        StreamRow(uuidA, Array(1), 3, "web", ts(0)),
+        StreamRow(uuidA, Array(1), 4, "web", ts(1)),
+        StreamRow(uuidA, Array(1), 5, "web", ts(2)),
+        StreamRow(uuidA, Array(1), 40, "web", ts(12)),
+        StreamRow(uuidA, Array(1), 60, "books", ts(13)))
+      q.processAllAvailable()
+      input.addData(StreamRow(uuidA, Array(1), 1, "web", ts(100)))
+      q.processAllAvailable()
+      val rows = spark.sql("select w_start, expectation, passed from expwin")
+        .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getBoolean(2)).toMap
+      val w0 = ts(0).getTime - (ts(0).getTime % 10000)
+      val w1 = w0 + 10000
+      suite.foreach(e => assert(rows((w0, e.name)), s"w0 ${e.name}"))
+      suite.foreach(e => assert(!rows((w1, e.name)), s"w1 ${e.name}"))
+      // agrees with the batch evaluator on the same window contents
+      val batch = graft.table.Expectations.check(
+        Seq((40, "web"), (60, "books")).toDF("n_tok", "source"), suite)
+        .collect().map(r => r.getString(0) -> r.getBoolean(4)).toMap
+      suite.foreach(e => assert(batch(e.name) == rows((w1, e.name))))
+    } finally q.stop()
+  }
+
   test("windowed PSI drift matches the batch psiDrift on the same data") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
