@@ -342,6 +342,27 @@ object SparkEntry {
       TableChecks.duplicatesComposite(t(s, dir, "documents"), Seq("source", "lang"))
         .select(col("source"), col("lang"), col("cnt"))),
 
+    // ---- functional dependency: does source determine lang? (it doesn't —
+    // every source carries several langs; the violating determinants ARE
+    // the answer) ----
+    "q_fd_violations" -> ((s, dir) =>
+      TableChecks.fdViolations(t(s, dir, "documents"), Seq("source"), "lang")),
+
+    // ---- ordering integrity: per-user event-time monotone in event_id
+    // order (clean data: every user verdicts monotone, counts vary) ----
+    "q_order_integrity" -> ((s, dir) =>
+      TableChecks.orderingIntegrity(t(s, dir, "events"),
+        "user_id", "event_id", "ts")),
+
+    // ---- multivariate drift: per-event-type corr(value, time) vs global ----
+    "q_corr_drift" -> ((s, dir) =>
+      TableChecks.corrDrift(t(s, dir, "events"), "event_type", "value", "ts",
+          eps = 0.01)
+        .select(col("event_type"), col("n"),
+          round(col("corr_group"), 6).as("corr_group"),
+          round(col("corr_global"), 6).as("corr_global"),
+          round(col("corr_diff"), 6).as("corr_diff"), col("drifted"))),
+
     // ---- skew diagnosis: Misra-Gries candidates + exact second pass ----
     "q_heavy_hitters" -> ((s, dir) =>
       TableChecks.heavyHitters(t(s, dir, "events"), "user_id", minShare = 0.008)
@@ -1121,6 +1142,30 @@ object SparkEntry {
         """SELECT source, lang, count(*)::BIGINT AS cnt FROM documents
            WHERE source IS NOT NULL OR lang IS NOT NULL
            GROUP BY 1, 2 HAVING count(*) > 1""",
+
+      "q_fd_violations" ->
+        """SELECT source, count(DISTINCT lang)::BIGINT AS n_dep,
+             count(*)::BIGINT AS n_rows
+           FROM documents WHERE lang IS NOT NULL
+           GROUP BY 1 HAVING count(DISTINCT lang) > 1""",
+
+      "q_order_integrity" ->
+        """WITH x AS (SELECT user_id,
+             CASE WHEN ts < lag(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                  THEN 1 ELSE 0 END AS inv FROM events)
+           SELECT user_id, count(*)::BIGINT AS n_events,
+             sum(inv)::BIGINT AS inversions, sum(inv) = 0 AS is_monotone
+           FROM x GROUP BY 1""",
+
+      "q_corr_drift" ->
+        """WITH t AS (SELECT corr(value, epoch(ts)) AS cglob FROM events),
+           g AS (SELECT event_type, count(*)::BIGINT AS n,
+                   corr(value, epoch(ts)) AS cg FROM events GROUP BY 1)
+           SELECT event_type, n, round(cg, 6) AS corr_group,
+             round(cglob, 6) AS corr_global,
+             round(abs(cg - cglob), 6) AS corr_diff,
+             abs(cg - cglob) > 0.01 AS drifted
+           FROM g, t""",
 
       "q_pipeline_expectations" ->
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,

@@ -60,6 +60,96 @@ object TableChecks {
       .filter(col("cnt") > 1)
   }
 
+  // ---------------------------------------------------- functional dependency
+
+  /** FUNCTIONAL-DEPENDENCY conformance: determinant tuples of `det` that map
+    * to MORE THAN ONE distinct non-null value of `dep` — the "doc_id
+    * determines source" / "url determines content-hash" class of
+    * cross-column invariant the row engine cannot see (it is a property of
+    * the table, not of any single row). Null dependents are treated as
+    * MISSING, not conflicting (count-distinct semantics). One row per
+    * violating determinant: (det..., n_dep, n_rows).
+    *
+    * Scale shape: phase 1 groups on (det, dep) — map-side combine collapses
+    * repeats BEFORE the only full shuffle, so the exchange carries distinct
+    * (det, dep) pairs, never rows; phase 2 re-aggregates the pair counts per
+    * determinant over the pairs-sized intermediate. No windows, no joins,
+    * no count-distinct expand. */
+  def fdViolations(df: DataFrame, det: Seq[String], dep: String): DataFrame = {
+    require(det.nonEmpty, "functional dependency needs a determinant column")
+    df.filter(col(dep).isNotNull)
+      .groupBy((det :+ dep).map(col): _*).agg(count(lit(1)).as("pair_cnt"))
+      .groupBy(det.map(col): _*)
+      .agg(count(lit(1)).as("n_dep"), sum("pair_cnt").as("n_rows"))
+      .filter(col("n_dep") > 1)
+  }
+
+  // ------------------------------------------------------- ordering integrity
+
+  /** ORDERING integrity per key: is `tsCol` non-decreasing when the key's
+    * rows are replayed in `seqCol` order? The event-log / chunked-document
+    * invariant ("a user's events ordered by sequence number never go back in
+    * time") — a property of the ROW ORDER within a key, invisible to both
+    * the row engine and per-column stats. One verdict row per key:
+    * (key, n_events, inversions, is_monotone).
+    *
+    * Scale shape: one exchange on the key, per-key sort for the lag window,
+    * and the verdict aggregation reuses the window's hash partitioning (no
+    * second exchange). Keys are independent; skew is bounded by the hottest
+    * key's own row count, and only (key, seq, ts) ever shuffles. */
+  def orderingIntegrity(df: DataFrame, keyCol: String, seqCol: String,
+                        tsCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(seqCol))
+    df.select(col(keyCol), col(seqCol), col(tsCol))
+      .withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col(tsCol) < col("_prev"), 1L).otherwise(0L)).as("inversions"))
+      .withColumn("is_monotone", col("inversions") === 0L)
+  }
+
+  // -------------------------------------------------------- correlation drift
+
+  /** Per-group Pearson correlation of (`xCol`, `yCol`) vs the whole table's —
+    * the cheap MULTIVARIATE drift check: univariate KS/PSI on each column can
+    * both pass while the RELATIONSHIP between them silently flips (a logging
+    * bug decoupling value from time, a source whose length/quality coupling
+    * inverts). One row per group: (group, n, corr_group, corr_global,
+    * corr_diff, drifted), drifted = |corr_group − corr_global| > eps, and a
+    * group whose correlation is undefined (n < 2 or zero variance) is
+    * flagged drifted (it cannot be shown healthy).
+    *
+    * Scale shape: two aggregations (per-group + global), both with partial
+    * Welford-style `corr` state — only O(groups) crosses the wire, and the
+    * single global row broadcasts. Numerically stable by construction (no
+    * n·Σx² − (Σx)² cancellation on large-magnitude columns like epochs). */
+  def corrDrift(df: DataFrame, groupCol: String, xCol: String, yCol: String,
+                eps: Double): DataFrame = {
+    // Pearson from population co-moments (identical value — the (n-1)
+    // factors cancel) with a zero-variance guard: built-in `corr` throws
+    // DIVIDE_BY_ZERO under ANSI mode on a constant column, where the right
+    // answer for a drift check is "undefined, flag it"
+    def safeCorr(x: Column, y: Column): Column = {
+      val sx = stddev_pop(x); val sy = stddev_pop(y)
+      when(sx > 0 && sy > 0, covar_pop(x, y) / (sx * sy))
+    }
+    // timestamps become epoch seconds; corr is shift-invariant, so the
+    // timezone interpretation of an NTZ timestamp cannot change the statistic
+    def asNum(c: String): Column = df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast(TimestampType)).cast(DoubleType) / lit(1e6)
+      case _ => col(c).cast(DoubleType)
+    }
+    val pairs = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), asNum(xCol).as("_x"), asNum(yCol).as("_y"))
+    val global = pairs.agg(safeCorr(col("_x"), col("_y")).as("corr_global"))
+    pairs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), safeCorr(col("_x"), col("_y")).as("corr_group"))
+      .crossJoin(broadcast(global))
+      .withColumn("corr_diff", abs(col("corr_group") - col("corr_global")))
+      .withColumn("drifted", coalesce(col("corr_diff") > eps, lit(true)))
+  }
+
   /** Heavy keys of `column` (share ≥ `minShare` of non-null rows) — the skew
     * DIAGNOSIS that decides where salting / AQE skew-split is needed. Two
     * passes, O(k) aggregation state:

@@ -25,6 +25,55 @@ class StatsSpec extends SparkSpec {
     assert(nulls.count() == 0)
   }
 
+  test("fdViolations: multi-valued determinants reported, null dependents are missing not conflicting") {
+    val df = Seq(
+      ("a", Some("x")), ("a", Some("x")), ("a", Some("y")),  // a → {x,y}: violation
+      ("b", Some("x")), ("b", Some("x")),                    // b → {x}: holds
+      ("c", Some("x")), ("c", None)                          // c: null dep ignored → holds
+    ).toDF("det", "dep")
+    val got = TableChecks.fdViolations(df, Seq("det"), "dep").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 3L)))
+    // composite determinant: (d1,d2) → dep
+    val comp = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 2, "x"))
+      .toDF("d1", "d2", "dep")
+    val gotC = TableChecks.fdViolations(comp, Seq("d1", "d2"), "dep").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(gotC == Seq(("a", 1, 2L)))
+  }
+
+  test("orderingIntegrity: inversions counted per key in seq order") {
+    val df = Seq(
+      (1L, 1L, 10L), (1L, 2L, 20L), (1L, 3L, 15L), (1L, 4L, 30L), // one inversion
+      (2L, 1L, 5L), (2L, 2L, 5L),                                 // ties are monotone
+      (3L, 1L, 9L)                                                // single event
+    ).toDF("k", "seq", "ts")
+    val got = TableChecks.orderingIntegrity(df, "k", "seq", "ts").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(1L -> (4L, 1L, false), 2L -> (2L, 0L, true),
+      3L -> (1L, 0L, true)))
+  }
+
+  test("corrDrift: inverted-relationship group flagged, undefined corr flagged") {
+    // groups g+ and g- are perfectly anti-correlated with each other; the
+    // global corr sits near 0, so both drift. gz has zero variance in x.
+    val rows =
+      (1 to 50).map(i => ("gpos", i.toDouble, i.toDouble)) ++
+      (1 to 50).map(i => ("gneg", i.toDouble, -i.toDouble)) ++
+      (1 to 5).map(_ => ("gzero", 1.0, 1.0))
+    val got = TableChecks.corrDrift(rows.toDF("g", "x", "y"), "g", "x", "y",
+        eps = 0.5).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(5))).toMap
+    assert(got("gpos") == (50L, true) && got("gneg") == (50L, true))
+    assert(got("gzero") == (5L, true)) // undefined corr can't be shown healthy
+    // a group matching the global relationship does not drift
+    val homog = (1 to 40).map(i => ("a", i.toDouble, i.toDouble)) ++
+      (1 to 40).map(i => ("b", i.toDouble, i.toDouble))
+    val h = TableChecks.corrDrift(homog.toDF("g", "x", "y"), "g", "x", "y", 0.5)
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(h == Map("a" -> false, "b" -> false))
+  }
+
   test("iqrOutlierBounds: fences and per-side counts on a known distribution") {
     // values 1..100 plus outliers -50 and 300: Q1=25.75, Q3=75.25 over the
     // 102 values? use exactly 1..101 so quartiles are integral: Q1=26, Q3=76
