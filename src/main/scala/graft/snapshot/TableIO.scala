@@ -94,8 +94,10 @@ final class ParquetSnapshotStore(spark: SparkSession, root: String) extends Tabl
   * invisible and cleared on retry).
   *
   * Every read carries a `_snap_id` lineage column (from the `snap=` path
-  * partition), so downstream per-partition manifests can record which
-  * snapshot each metric batch came from.
+  * partition, or a data column inside compacted files), so downstream
+  * per-partition manifests can record which snapshot each metric batch came
+  * from. [[compact]] + [[vacuum]] bound the small-files growth of a standing
+  * append job without changing any reader's answer.
   */
 final class AppendSnapshotStore(spark: SparkSession, root: String) {
 
@@ -131,6 +133,7 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
     spark.read.option("basePath", base)
       .parquet(ids.map(id => s"$base/snap=$id"): _*)
       .withColumnRenamed("snap", "_snap_id")
+      .withColumn("_snap_id", col("_snap_id").cast("long"))
   }
 
   /** Full table as of `asOf` (default: latest) — union of snapshots ≤ asOf. */
@@ -138,13 +141,96 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
     val ids = committedIds(table)
     val upTo = asOf.getOrElse(
       ids.lastOption.getOrElse(throw new IllegalStateException(s"no snapshot in $table")))
-    readSnaps(table, ids.filter(_ <= upTo))
+    readRange(table, 0L, upTo)
   }
 
   /** The DELTA: rows appended in snapshots (fromExclusive, toInclusive]. */
   def readBetween(table: String, fromExclusive: Long, toInclusive: Long): DataFrame =
-    readSnaps(table, committedIds(table).filter(id =>
-      id > fromExclusive && id <= toInclusive))
+    readRange(table, fromExclusive, toInclusive)
+
+  /** Rows of snapshots in (a, b]: from the latest committed compaction where
+    * it covers the range (a `_snap_id` filter the scan can push down to
+    * sorted row groups), plus the post-compaction snap dirs. Snap dirs below
+    * a covering compaction are never touched — [[vacuum]] may have removed
+    * them. */
+  private def readRange(table: String, a: Long, b: Long): DataFrame =
+    latestCompaction(table).filter(_ > a) match {
+      case Some(k) =>
+        val fromCompact = readCompacted(table, k)
+          .filter(col("_snap_id") > a && col("_snap_id") <= math.min(k, b))
+        val laterIds = committedIds(table).filter(id => id > math.max(a, k) && id <= b)
+        if (laterIds.isEmpty) fromCompact
+        else fromCompact.unionByName(readSnaps(table, laterIds))
+      case None =>
+        readSnaps(table, committedIds(table).filter(id => id > a && id <= b))
+    }
+
+  private def readCompacted(table: String, k: Long): DataFrame =
+    spark.read.parquet(new Path(tableRoot(table), s"compact=$k").toString)
+      .withColumn("_snap_id", col("_snap_id").cast("long"))
+
+  /** Latest committed compaction's folded-through snapshot id, if any. */
+  def latestCompaction(table: String): Option[Long] = {
+    val c = new Path(tableRoot(table), "_compactions")
+    val f = fs(c)
+    if (!f.exists(c)) None
+    else f.listStatus(c).toSeq.map(_.getPath.getName.toLong).sorted.lastOption
+  }
+
+  /** COMPACTION — the Iceberg rewrite-data-files analogue, the answer to the
+    * append store's small-files growth: a standing job appending every few
+    * minutes accumulates O(appends × |partition domain|) files, and every
+    * `readAsOf` unions them all. `compact` folds every committed snapshot
+    * ≤ current into ONE consolidated dir, clustered by `partitionCol` with
+    * rows sorted by `_snap_id` inside each partition — `_snap_id` becomes a
+    * data column there, so time travel and delta reads keep working through
+    * the compacted files via a pushed-down range filter over sorted row
+    * groups. Reads after compaction touch O(appends since compaction) dirs.
+    *
+    * Same crash discipline as commits: data first, then an atomic
+    * `_compactions/<id>` marker — a crashed compaction is invisible and
+    * cleared on retry. Appends, reads, and the incremental-validation flow
+    * are untouched while a compaction runs (it only ADDS a data layout).
+    * Returns the folded-through snapshot id; no-ops if already compacted
+    * through the latest snapshot. */
+  def compact(table: String, partitionCol: String): Long = {
+    val upTo = currentSnapshot(table).getOrElse(
+      throw new IllegalStateException(s"nothing to compact in $table"))
+    if (latestCompaction(table).contains(upTo)) return upTo
+    val data = readAsOf(table, Some(upTo))
+    val dataPath = new Path(tableRoot(table), s"compact=$upTo")
+    val f = fs(dataPath)
+    if (f.exists(dataPath)) f.delete(dataPath, true) // uncommitted leftovers
+    SnapshotWrite.clustered(data, partitionCol)
+      .sortWithinPartitions(col(partitionCol), col("_snap_id"))
+      .write.mode(SaveMode.ErrorIfExists)
+      .partitionBy(partitionCol).parquet(dataPath.toString)
+    val marker = new Path(new Path(tableRoot(table), "_compactions"), upTo.toString)
+    f.mkdirs(marker.getParent)
+    f.create(marker, false).close()
+    upTo
+  }
+
+  /** Remove data made redundant by the latest committed compaction: snap
+    * dirs ≤ its folded-through id and older compact dirs. Commit markers are
+    * RETAINED — the snapshot history (ids, `readAsOf`, `readBetween`) is
+    * fully served by the compacted files. Returns the number of directories
+    * removed. Safe any time after `compact` returns: the compaction marker
+    * is already durable, so no reader can still be planning against the
+    * victims in a new query. */
+  def vacuum(table: String): Int = latestCompaction(table) match {
+    case None => 0
+    case Some(k) =>
+      val rootP = tableRoot(table)
+      val f = fs(rootP)
+      val victims = f.listStatus(rootP).toSeq.map(_.getPath).filter { p =>
+        val n = p.getName
+        (n.startsWith("snap=") && n.stripPrefix("snap=").toLong <= k) ||
+          (n.startsWith("compact=") && n.stripPrefix("compact=").toLong < k)
+      }
+      victims.foreach(p => f.delete(p, true))
+      victims.size
+  }
 }
 
 /** Append-only per-partition run manifest (FIXTURES.md §5) — the engine's

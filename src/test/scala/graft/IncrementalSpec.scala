@@ -58,6 +58,63 @@ class IncrementalSpec extends SparkSpec {
     assert(s2 == 2L && store.readAsOf("t").count() == 160)
   }
 
+  test("compaction: reads unchanged, lineage survives, vacuum removes superseded dirs") {
+    val root = tmp()
+    val store = new AppendSnapshotStore(spark, root)
+    store.commitAppend("t", gen(100, 1L, 0.0, 4), "part")
+    store.commitAppend("t", gen(50, 2L, 0.0, 4), "part")
+    store.commitAppend("t", gen(25, 3L, 0.0, 4), "part")
+    def key(df: DataFrame) = df.select("doc_id", "_snap_id").collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue())).toSet
+    val before = key(store.readAsOf("t"))
+
+    assert(store.compact("t", "part") == 3L)
+    assert(store.latestCompaction("t").contains(3L))
+    // every read form answers identically through the compacted files
+    assert(key(store.readAsOf("t")) == before)
+    assert(store.readAsOf("t", Some(2L)).count() == 150)
+    assert(store.readBetween("t", 1L, 3L).count() == 75)
+    // the lineage filter reaches the parquet scan of the compacted dir
+    val plan = store.readBetween("t", 1L, 3L).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("_snap_id"),
+      s"lineage filter not pushed:\n$plan")
+    // compacting again with nothing new is a no-op
+    assert(store.compact("t", "part") == 3L)
+
+    // appends continue after compaction; ranges span the boundary
+    store.commitAppend("t", gen(30, 4L, 0.0, 4), "part")
+    assert(store.readAsOf("t").count() == 205)
+    assert(store.readBetween("t", 2L, 4L).count() == 55)
+
+    // vacuum removes snap dirs <= 3; history still fully served
+    assert(store.vacuum("t") == 3)
+    assert(key(store.readAsOf("t")).size == 205)
+    assert(store.readAsOf("t", Some(1L)).count() == 100)
+    assert(store.committedIds("t") == Seq(1L, 2L, 3L, 4L))
+
+    // second compaction folds compact=3 + snap=4; vacuum drops both victims
+    assert(store.compact("t", "part") == 4L)
+    assert(store.vacuum("t") == 2) // snap=4 and compact=3
+    assert(store.readAsOf("t").count() == 205)
+    assert(store.readBetween("t", 3L, 4L).count() == 30)
+  }
+
+  test("compaction: a crashed (marker-less) compact dir is invisible and cleared on retry") {
+    val root = tmp()
+    val store = new AppendSnapshotStore(spark, root)
+    store.commitAppend("t", gen(80, 7L, 0.0, 4), "part")
+    store.commitAppend("t", gen(20, 8L, 0.0, 4), "part")
+    // simulate a crash: compacted data written, no marker
+    store.readAsOf("t").write.partitionBy("part").parquet(s"$root/t/compact=2")
+    assert(store.latestCompaction("t").isEmpty)
+    assert(store.readAsOf("t").count() == 100) // still served by snap dirs
+    // retry commits over the leftovers
+    assert(store.compact("t", "part") == 2L)
+    assert(store.readAsOf("t").count() == 100)
+    assert(store.vacuum("t") == 2)
+    assert(store.readAsOf("t").count() == 100)
+  }
+
   // ------------------------------------------------------- mergeable t-digest
 
   test("t-digest sketch + merge: merged partial digests match one full digest") {
