@@ -28,7 +28,8 @@ class ConformanceSpec extends SparkSpec {
       "/conformance/cases4.json", "/conformance/cases5.json",
       "/conformance/cases6.json", "/conformance/cases7.json",
       "/conformance/cases8.json", "/conformance/cases9.json",
-      "/conformance/cases10.json", "/conformance/cases11.json").flatMap { f =>
+      "/conformance/cases10.json", "/conformance/cases11.json",
+      "/conformance/cases12.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
