@@ -23,7 +23,8 @@ object PlanAudit {
       "q_heavy_hitters", "q_histogram_nchars", "q_entropy_source",
       "q_incremental_manifest",
       "q_token_drift", "q_token_drift_by", "q_expectations_by",
-      "q_group_anomaly", "q_infer_profile")
+      "q_group_anomaly", "q_infer_profile",
+      "q_dup_composite", "q_fd_violations", "q_order_integrity", "q_corr_drift")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute first: under AQE the pre-execution plan is the INITIAL one,
