@@ -354,6 +354,17 @@ object SparkEntry {
       TableChecks.orderingIntegrity(t(s, dir, "events"),
         "user_id", "event_id", "ts")),
 
+    // ---- trend anomalies: daily event counts per type, median/MAD fences ----
+    "q_trend_anomaly" -> ((s, dir) => {
+      val series = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("v"))
+      TableChecks.trendAnomalies(series, "event_type", "day", "v")
+        .select(col("event_type"), col("day"), col("value"),
+          round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+          col("is_anomaly"))
+    }),
+
     // ---- multivariate drift: per-event-type corr(value, time) vs global ----
     "q_corr_drift" -> ((s, dir) =>
       TableChecks.corrDrift(t(s, dir, "events"), "event_type", "value", "ts",
@@ -1156,6 +1167,17 @@ object SparkEntry {
            SELECT user_id, count(*)::BIGINT AS n_events,
              sum(inv)::BIGINT AS inversions, sum(inv) = 0 AS is_monotone
            FROM x GROUP BY 1""",
+
+      "q_trend_anomaly" ->
+        """WITH s AS (SELECT event_type, ts::DATE AS day,
+             count(*)::BIGINT AS v FROM events GROUP BY 1, 2),
+           m AS (SELECT event_type, median(v) AS med FROM s GROUP BY 1),
+           d AS (SELECT s.event_type, median(abs(v - med)) AS mad
+                 FROM s JOIN m USING (event_type) GROUP BY 1)
+           SELECT s.event_type, day, v::DOUBLE AS value,
+             round(med, 4) AS med, round(mad, 4) AS mad,
+             abs(v - med) > 3.5 * greatest(mad, 1e-9) AS is_anomaly
+           FROM s JOIN m USING (event_type) JOIN d USING (event_type)""",
 
       "q_corr_drift" ->
         """WITH t AS (SELECT corr(value, epoch(ts)) AS cglob FROM events),

@@ -108,6 +108,37 @@ object TableChecks {
       .withColumn("is_monotone", col("inversions") === 0L)
   }
 
+  // ----------------------------------------------------------- trend anomalies
+
+  /** TREND anomalies over a metric SERIES (key, order, value) — the standing
+    * job's "did this run's metric jump?" check: a manifest metric per
+    * partition across runs, daily violation counts per source, etc. A point
+    * is anomalous when its distance from the key's MEDIAN exceeds
+    * `k × MAD` (median absolute deviation) — the robust fences that a mean/
+    * stddev z-score lacks (one bad run drags the mean toward itself and
+    * hides the next one). Output: one row per input point with
+    * (value, med, mad, is_anomaly); an all-identical series (mad = 0) flags
+    * any deviation at all.
+    *
+    * Scale shape: the SERIES is aggregate-sized by construction (keys ×
+    * observation points — the caller reduces raw rows first, as the manifest
+    * already is). Two exact-percentile groupings over it, per-key stats
+    * broadcast back; raw data never enters. */
+  def trendAnomalies(series: DataFrame, keyCol: String, orderCol: String,
+                     valueCol: String, k: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast(DoubleType)
+    val med = series.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valueCol, 0.5D)").as("med"))
+    val withMed = series.join(broadcast(med), Seq(keyCol))
+    val mad = withMed.groupBy(col(keyCol))
+      .agg(expr(s"percentile(abs($valueCol - med), 0.5D)").as("mad"))
+    withMed.join(broadcast(mad), Seq(keyCol))
+      .withColumn("is_anomaly",
+        abs(v - col("med")) > lit(k) * greatest(col("mad"), lit(1e-9)))
+      .select(col(keyCol), col(orderCol), v.as("value"), col("med"),
+        col("mad"), col("is_anomaly"))
+  }
+
   // -------------------------------------------------------- correlation drift
 
   /** Per-group Pearson correlation of (`xCol`, `yCol`) vs the whole table's —

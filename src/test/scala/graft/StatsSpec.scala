@@ -54,6 +54,25 @@ class StatsSpec extends SparkSpec {
       3L -> (1L, 0L, true)))
   }
 
+  test("trendAnomalies: spike flagged by median/MAD fences, flat series flags any deviation") {
+    // key a: stable around 10 with one spike at 100; key b: perfectly flat
+    val rows = Seq(
+      ("a", 1, 10.0), ("a", 2, 11.0), ("a", 3, 9.0), ("a", 4, 10.0),
+      ("a", 5, 100.0), ("a", 6, 12.0), ("a", 7, 10.0),
+      ("b", 1, 5.0), ("b", 2, 5.0), ("b", 3, 5.0), ("b", 4, 5.0),
+      ("b", 5, 5.000001))
+    val got = TableChecks.trendAnomalies(
+      rows.toDF("k", "t", "v"), "k", "t", "v").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(5)).toMap
+    // a: med=10, mad=median(0,1,1,0,90,2,0)=1 → only |100-10| > 3.5 flags
+    assert(got == rows.map { case (k, t, v) =>
+      (k, t) -> ((k, t) == ("a", 5) || (k, t) == ("b", 5)) }.toMap)
+    // med/mad surfaced for the report
+    val a5 = TableChecks.trendAnomalies(rows.toDF("k", "t", "v"), "k", "t", "v")
+      .filter($"k" === "a" && $"t" === 5).head()
+    assert(a5.getDouble(3) == 10.0 && a5.getDouble(4) == 1.0)
+  }
+
   test("corrDrift: inverted-relationship group flagged, undefined corr flagged") {
     // groups g+ and g- are perfectly anti-correlated with each other; the
     // global corr sits near 0, so both drift. gz has zero variance in x.
