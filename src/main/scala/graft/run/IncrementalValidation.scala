@@ -70,6 +70,27 @@ object IncrementalValidation {
     val state = new StateDir(spark, stateDir)
     val from = state.lastValidatedSnapshot
 
+    // ---- schema-promotion guard ([[graft.model.SchemaCompat]]): a standing
+    // job's schema may change between runs ONLY when the change is provably
+    // relaxing — otherwise prior runs' row verdicts (and the state folded
+    // from them) are not facts about the new schema, and the caller must
+    // revalidate into a fresh state dir. A relaxed promotion keeps verdicts
+    // SOUND rather than exact: a violation recorded under the stricter old
+    // schema can only OVERSTATE under the new one (a row may have become
+    // valid), so a partition never falsely passes; counts refresh as their
+    // files' snapshots are superseded or the table is revalidated.
+    state.recordedSchema().filter(_ != cfg.schemaJson).foreach { old =>
+      val changes = graft.model.SchemaCompat.diff(old, cfg.schemaJson)
+      if (!graft.model.SchemaCompat.canPromoteWithoutRescan(changes)) {
+        val t = changes.filter(_.direction == graft.model.SchemaCompat.Tightened)
+        throw new IllegalStateException(
+          s"schema change TIGHTENS ${t.size} constraint(s) " +
+            s"(${t.map(_.path).take(5).mkString(", ")}); prior verdicts do not " +
+            "transfer — revalidate the table into a fresh state dir")
+      }
+    }
+    state.recordSchema(cfg.schemaJson)
+
     if (from >= cur) {
       // nothing new — report current merged state, touch nothing
       val manifest = mergedManifest(spark, state, baseline, cfg, runId, cur)
@@ -422,6 +443,31 @@ object IncrementalValidation {
       require(paths.nonEmpty, s"no committed state batches under $root")
       spark.read.option("basePath", root.toString)
         .parquet(paths: _*).drop("batch")
+    }
+
+    /** The schema document the state was last validated under — the
+      * promotion guard's comparison point. */
+    def recordedSchema(): Option[String] = {
+      val p = new Path(dir, "_schema.json")
+      val f = fs(p)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    }
+
+    def recordSchema(json: String): Unit = {
+      val p = new Path(dir, "_schema.json")
+      val tmp = new Path(dir, s"_schema.json.tmp-${java.util.UUID.randomUUID()}")
+      val f = fs(p)
+      val out = f.create(tmp, true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.exists(p)) f.delete(p, false)
+      if (!f.rename(tmp, p))
+        throw new java.io.IOException(s"schema record rename failed: $p")
     }
 
     /** Column names present in EVERY committed state batch — the set the

@@ -245,6 +245,44 @@ class IncrementalSpec extends SparkSpec {
     assert(r3.manifest.collect().map(_.getAs[Long]("row_count")).sum == 7000L)
   }
 
+  test("incremental: schema promotion guard — relaxed proceeds, tightened demands fresh state") {
+    val parts = 4
+    val store = new AppendSnapshotStore(spark, tmp())
+    val stateDir = tmp()
+    val bare = cfg.copy(riKey = None, driftNumCol = None, driftCatCol = None)
+    store.commitAppend("seqs", gen(300, 81L, 0.0, parts), "part")
+    IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, bare, stateDir, "run-1")
+
+    // RELAXED bump (maxItems / maximum raised): the standing job continues
+    store.commitAppend("seqs", gen(200, 92L, 0.0, parts), "part")
+    val relaxed = bare.copy(
+      schemaJson = TokenSeqs.canonicalSchemaJson(maxTokens = 16384))
+    val r2 = IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, relaxed, stateDir, "run-2")
+    assert(r2.toSnapshot == 2L)
+    assert(r2.manifest.collect().map(_.getAs[Long]("row_count")).sum == 500L)
+
+    // TIGHTENED bump (maximum lowered): refused with the offending paths
+    store.commitAppend("seqs", gen(100, 93L, 0.0, parts), "part")
+    val tightened = bare.copy(
+      schemaJson = TokenSeqs.canonicalSchemaJson(maxTokens = 100))
+    val e = intercept[IllegalStateException] {
+      IncrementalValidation.validateDeltaAndCommit(
+        spark, store, "seqs", None, None, tightened, stateDir, "run-3")
+    }
+    assert(e.getMessage.contains("TIGHTENS") && e.getMessage.contains("fresh state"))
+    // the refused run left no state behind: the relaxed schema still rules
+    val r4 = IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, relaxed, stateDir, "run-4")
+    assert(r4.fromSnapshot == 2L && r4.toSnapshot == 3L)
+    // a FRESH state dir accepts the tightened schema and revalidates fully
+    val r5 = IncrementalValidation.validateDeltaAndCommit(
+      spark, store, "seqs", None, None, tightened, tmp(), "run-5")
+    assert(r5.fromSnapshot == 0L && r5.toSnapshot == 3L)
+    assert(r5.deltaViolations.filter(col("keyword").isin("maxItems", "maximum")).count() > 0)
+  }
+
   // ------------------------------------------- incremental expectation fold
 
   test("incremental: expectation suite folds across appends and matches the batch pipeline") {
