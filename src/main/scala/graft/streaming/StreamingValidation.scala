@@ -172,6 +172,40 @@ object StreamingValidation {
       baseline.select(explode(col(tokensCol)).as("tok")),
       "tok", eventTimeCol, windowDuration, watermarkDelay, eps)
 
+  /** Bridge STREAMING into the INCREMENTAL engine: each micro-batch commits
+    * as one append snapshot of `table` and is validated incrementally —
+    * delta-only row checks, mergeable sketch/expectation state, merged
+    * table-wide manifest — via [[graft.run.IncrementalValidation]]. The
+    * stream thereby gets everything the standing batch job has (lineage,
+    * resumable manifests, cross-snapshot uniqueness, the schema-promotion
+    * guard) instead of a parallel stateful implementation; and after the
+    * stream stops, the SAME state dir serves batch incremental runs.
+    *
+    * Exactly-once discipline: the snapshot commit is marker-last and the
+    * validation state append is rename-atomic; a micro-batch replayed after
+    * a crash re-commits over invisible leftovers. An EMPTY micro-batch is a
+    * no-op (no empty snapshots). `onResult` receives each batch's
+    * [[graft.run.IncrementalResult]] — write violations/manifest wherever
+    * the job sinks them.
+    *
+    * Returns a DataStreamWriter — call `.start()` (and optionally set a
+    * checkpointLocation) to run. */
+  def incrementalSink(stream: DataFrame, store: graft.snapshot.AppendSnapshotStore,
+                      table: String, partitionCol: String,
+                      dim: Option[DataFrame], baseline: Option[DataFrame],
+                      cfg: graft.run.PipelineConfig, stateDir: String,
+                      onResult: graft.run.IncrementalResult => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      if (!batch.isEmpty) {
+        val snap = store.commitAppend(table, batch, partitionCol)
+        val r = graft.run.IncrementalValidation.validateDeltaAndCommit(
+          batch.sparkSession, store, table, dim, baseline, cfg, stateDir,
+          s"stream-batch-$batchId-snap-$snap")
+        onResult(r)
+      }
+    }
+
   /** Per-window EXPECTATION suite — the streaming form of
     * [[graft.table.Expectations.check]]: every expectation evaluated within
     * each event-time window, one verdict row per (window, expectation).

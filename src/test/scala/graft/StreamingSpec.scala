@@ -150,6 +150,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental sink: micro-batches become snapshots, validated delta-only, manifest merged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.run.{IncrementalResult, PipelineConfig}
+    import graft.snapshot.AppendSnapshotStore
+    val input = MemoryStream[StreamRow]
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-incr").toString
+    val store = new AppendSnapshotStore(spark, s"$root/table")
+    val cfg = PipelineConfig(TokenSeqs.canonicalSchemaJson(),
+      riKey = None, driftNumCol = None, driftCatCol = None)
+    val results = scala.collection.mutable.Buffer[IncrementalResult]()
+    val q = StreamingValidation.incrementalSink(
+      input.toDF().withColumn("part", pmod(xxhash64(coalesce(col("doc_id"), lit(""))), lit(2))),
+      store, "seqs", "part", None, None, cfg, s"$root/state",
+      r => results.synchronized { results += r })
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // batch 1: two clean rows + one n_tok minimum violation
+      input.addData(
+        StreamRow(uuidA, Array(1, 2, 3), 3, "web", ts(0)),
+        StreamRow(uuidB, Array(1), 1, "books", ts(1)),
+        StreamRow("9e107d9d-372b-46c1-9bf2-817bcf658bc8", Array(1), 0, "web", ts(2)))
+      q.processAllAvailable()
+      // batch 2: one clean row + a doc_id reused from batch 1
+      input.addData(
+        StreamRow("45c4e7ba-5d4a-4a67-8f63-1c2d05e2b968", Array(7), 1, "code", ts(10)),
+        StreamRow(uuidA, Array(9), 1, "wiki", ts(11)))
+      q.processAllAvailable()
+
+      assert(store.committedIds("seqs") == Seq(1L, 2L))
+      val rs = results.synchronized(results.toList)
+      assert(rs.map(r => (r.fromSnapshot, r.toSnapshot)) == List((0L, 1L), (1L, 2L)))
+      // batch 1's violation found in its delta; batch 2 sees only its own
+      // rows plus the cross-snapshot duplicate against batch 1's keys
+      assert(rs(0).deltaViolations.filter(col("keyword") === "minimum").count() == 1)
+      val uniq = rs(1).deltaViolations.filter(col("keyword") === "uniqueness").collect()
+      assert(uniq.map(_.getAs[String]("doc_id")).toSeq == Seq(uuidA))
+      assert(uniq.head.getAs[String]("message").contains("prior snapshot"))
+      // merged manifest covers the WHOLE table after batch 2
+      assert(rs(1).manifest.collect().map(_.getAs[Long]("row_count")).sum == 5L)
+      // the same state dir serves a batch incremental run after the stream
+      val r3 = graft.run.IncrementalValidation.validateDeltaAndCommit(
+        spark, store, "seqs", None, None, cfg, s"$root/state", "post-stream")
+      assert(r3.fromSnapshot == 2L && r3.toSnapshot == 2L)
+      assert(r3.manifest.collect().map(_.getAs[Long]("row_count")).sum == 5L)
+    } finally q.stop()
+  }
+
   test("windowed expectations match the batch suite per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
