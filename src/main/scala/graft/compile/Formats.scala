@@ -248,7 +248,9 @@ object Formats {
     "date-time" -> { c =>
       val datePart = substring(c, 1, 10)
       val timePart = substring(c, 12, 1000)
-      c.rlike(s"^${dateRe}[Tt ]$timeRe$$") && validDate(datePart) && validTime(timePart)
+      // separator is strictly T/t (time.go:37) — RFC3339's space-separator
+      // note does not apply; the reference rejects "date time"
+      c.rlike(s"^${dateRe}[Tt]$timeRe$$") && validDate(datePart) && validTime(timePart)
     },
     "duration" -> validDuration,
     // no overall-length cap: the reference defers entirely to net/mail,
