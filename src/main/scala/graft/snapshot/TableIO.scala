@@ -113,17 +113,42 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
 
   def currentSnapshot(table: String): Option[Long] = committedIds(table).lastOption
 
-  /** Append `df` as a new snapshot; returns the new snapshot id. */
-  def commitAppend(table: String, df: DataFrame, partitionCol: String): Long = {
+  /** Append `df` as a new snapshot; returns the new snapshot id.
+    *
+    * `idempotencyToken`: an at-least-once producer (a streaming foreachBatch
+    * replaying a micro-batch after a crash, a retried orchestrator step)
+    * passes a stable token per logical batch; a commit whose marker already
+    * carries that token is returned as-is instead of appending a duplicate
+    * snapshot. The token rides INSIDE the commit-marker file — the marker
+    * creation is the single atomic commit point, so there is no window where
+    * data is committed but the token is not. Token lookup is a runs-sized
+    * listing of tiny marker files, never a data read. */
+  def commitAppend(table: String, df: DataFrame, partitionCol: String,
+                   idempotencyToken: Option[String] = None): Long = {
+    val commits = new Path(tableRoot(table), "_commits")
+    idempotencyToken.foreach { tok =>
+      val f = fs(commits)
+      if (f.exists(commits)) {
+        f.listStatus(commits).foreach { st =>
+          val in = f.open(st.getPath)
+          val content = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          if (content == tok) return st.getPath.getName.toLong
+        }
+      }
+    }
     val id = currentSnapshot(table).getOrElse(0L) + 1L
     val dataPath = new Path(tableRoot(table), s"snap=$id")
     val f = fs(dataPath)
     if (f.exists(dataPath)) f.delete(dataPath, true) // uncommitted leftovers
     SnapshotWrite.clustered(df, partitionCol).write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionCol).parquet(dataPath.toString)
-    val marker = new Path(new Path(tableRoot(table), "_commits"), id.toString)
+    val marker = new Path(commits, id.toString)
     f.mkdirs(marker.getParent)
-    f.create(marker, false).close()
+    val out = f.create(marker, false)
+    try idempotencyToken.foreach(t =>
+      out.write(t.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    finally out.close()
     id
   }
 

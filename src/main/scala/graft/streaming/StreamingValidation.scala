@@ -181,12 +181,16 @@ object StreamingValidation {
     * guard) instead of a parallel stateful implementation; and after the
     * stream stops, the SAME state dir serves batch incremental runs.
     *
-    * Exactly-once discipline: the snapshot commit is marker-last and the
-    * validation state append is rename-atomic; a micro-batch replayed after
-    * a crash re-commits over invisible leftovers. An EMPTY micro-batch is a
-    * no-op (no empty snapshots). `onResult` receives each batch's
-    * [[graft.run.IncrementalResult]] — write violations/manifest wherever
-    * the job sinks them.
+    * Exactly-once discipline: foreachBatch delivers at-least-once, so the
+    * snapshot commit is keyed by an idempotency token derived from the
+    * batchId — a replayed micro-batch (crash before the streaming checkpoint
+    * advanced) finds its token in the commit marker and returns the existing
+    * snapshot instead of appending a duplicate; the incremental validation
+    * of an already-validated snapshot is itself a no-op. A crashed HALF
+    * commit (data, no marker) is invisible and cleared on the retry. An
+    * EMPTY micro-batch is a no-op (no empty snapshots). `onResult` receives
+    * each batch's [[graft.run.IncrementalResult]] — write
+    * violations/manifest wherever the job sinks them.
     *
     * Returns a DataStreamWriter — call `.start()` (and optionally set a
     * checkpointLocation) to run. */
@@ -198,7 +202,8 @@ object StreamingValidation {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       if (!batch.isEmpty) {
-        val snap = store.commitAppend(table, batch, partitionCol)
+        val snap = store.commitAppend(table, batch, partitionCol,
+          idempotencyToken = Some(s"stream-batch-$batchId"))
         val r = graft.run.IncrementalValidation.validateDeltaAndCommit(
           batch.sparkSession, store, table, dim, baseline, cfg, stateDir,
           s"stream-batch-$batchId-snap-$snap")

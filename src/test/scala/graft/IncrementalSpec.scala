@@ -58,6 +58,26 @@ class IncrementalSpec extends SparkSpec {
     assert(s2 == 2L && store.readAsOf("t").count() == 160)
   }
 
+  test("append store: idempotency token makes replayed commits no-ops") {
+    val store = new AppendSnapshotStore(spark, tmp())
+    val s1 = store.commitAppend("t", gen(50, 1L, 0.0, 4), "part",
+      idempotencyToken = Some("batch-0"))
+    assert(s1 == 1L && store.readAsOf("t").count() == 50)
+    // replay of the same logical batch: same id, no duplicate data
+    val s1b = store.commitAppend("t", gen(50, 1L, 0.0, 4), "part",
+      idempotencyToken = Some("batch-0"))
+    assert(s1b == 1L && store.readAsOf("t").count() == 50)
+    // a new token appends; tokenless commits are unaffected by the ledger
+    val s2 = store.commitAppend("t", gen(25, 2L, 0.0, 4), "part",
+      idempotencyToken = Some("batch-1"))
+    val s3 = store.commitAppend("t", gen(10, 3L, 0.0, 4), "part")
+    assert(s2 == 2L && s3 == 3L && store.readAsOf("t").count() == 85)
+    // replay of batch-1 after later commits still resolves to ITS snapshot
+    assert(store.commitAppend("t", gen(25, 2L, 0.0, 4), "part",
+      idempotencyToken = Some("batch-1")) == 2L)
+    assert(store.readAsOf("t").count() == 85)
+  }
+
   test("compaction: reads unchanged, lineage survives, vacuum removes superseded dirs") {
     val root = tmp()
     val store = new AppendSnapshotStore(spark, root)

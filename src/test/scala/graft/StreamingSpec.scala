@@ -195,6 +195,14 @@ class StreamingSpec extends SparkSpec {
         spark, store, "seqs", None, None, cfg, s"$root/state", "post-stream")
       assert(r3.fromSnapshot == 2L && r3.toSnapshot == 2L)
       assert(r3.manifest.collect().map(_.getAs[Long]("row_count")).sum == 5L)
+      // a replayed micro-batch (at-least-once foreachBatch) is a no-op:
+      // the batchId-derived token resolves to the existing snapshot
+      val replayed = store.commitAppend("seqs",
+        store.readBetween("seqs", 0L, 1L).drop("_snap_id"), "part",
+        idempotencyToken = Some("stream-batch-0"))
+      assert(replayed == 1L)
+      assert(store.committedIds("seqs") == Seq(1L, 2L))
+      assert(store.readAsOf("seqs").count() == 5L)
     } finally q.stop()
   }
 
