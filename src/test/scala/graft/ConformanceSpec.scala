@@ -30,7 +30,8 @@ class ConformanceSpec extends SparkSpec {
       "/conformance/cases8.json", "/conformance/cases9.json",
       "/conformance/cases10.json", "/conformance/cases11.json",
       "/conformance/cases12.json", "/conformance/cases13.json",
-      "/conformance/cases14.json", "/conformance/cases15.json").flatMap { f =>
+      "/conformance/cases14.json", "/conformance/cases15.json",
+      "/conformance/cases16.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
