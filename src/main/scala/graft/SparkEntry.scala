@@ -441,6 +441,15 @@ object SparkEntry {
         "doc_id", "paras", minChars = 10)
     }),
 
+    // ---- dedup: exact-substring (repeated token-window) removal, Lee et
+    //      al. 2022 ExactSubstr semantics at window granularity: every token
+    //      covered by an 8-token window whose content occurs earlier in the
+    //      corpus ((doc_id, pos) order) is cut; first occurrences survive ----
+    "q_span_dedup" -> ((s, dir) =>
+      Dedup.dropRepeatedSpans(
+        tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
+        "doc_id", "tokens", winLen = 8)),
+
     // ---- dedup: pair-graph clustering (connected components) — collapses
     //      transitive near-dup chains (A~B, B~C ⇒ {A,B,C}) into one group.
     //      The edge relation is deterministic over doc_id (chains broken at
@@ -1273,6 +1282,37 @@ object SparkEntry {
              len(d2.paras)::INT AS n_paras,
              (len(d2.paras) - coalesce(a.nk, 0))::INT AS n_removed
            FROM d2 LEFT JOIN a USING (doc_id)""",
+
+      // oracle groups by actual window CONTENT (a list), so the Spark side's
+      // 64-bit rolling hash is verified collision-free at this scale
+      "q_span_dedup" ->
+        s"""WITH ts AS (SELECT doc_id::BIGINT doc_id, $tokSql toks FROM documents),
+           d2 AS (SELECT doc_id, toks, list_transform(range(greatest(len(toks)-7, 0)),
+                    i -> toks[i+1:i+8]) AS wins FROM ts),
+           w AS (SELECT doc_id, generate_subscripts(wins, 1) - 1 AS pos,
+                   unnest(wins) AS win FROM d2),
+           r AS (SELECT doc_id, pos,
+                   row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) rn,
+                   count(*) OVER (PARTITION BY win) c
+                 FROM w),
+           losers AS (SELECT doc_id, pos FROM r WHERE rn > 1),
+           wins AS (SELECT doc_id, pos FROM r WHERE rn = 1 AND c > 1),
+           lcov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+                    FROM losers CROSS JOIN range(8) AS u(j)),
+           wcov AS (SELECT DISTINCT doc_id, pos + j AS tpos
+                    FROM wins CROSS JOIN range(8) AS u(j)),
+           cov AS (SELECT doc_id, tpos FROM lcov
+                   EXCEPT SELECT doc_id, tpos FROM wcov),
+           p AS (SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tpos,
+                   unnest(toks) AS tok FROM ts),
+           k AS (SELECT p.doc_id, list(p.tok ORDER BY p.tpos) AS clean_tokens,
+                   count(*) AS nk
+                 FROM p WHERE NOT EXISTS (SELECT 1 FROM cov
+                   WHERE cov.doc_id = p.doc_id AND cov.tpos = p.tpos)
+                 GROUP BY 1)
+           SELECT ts.doc_id, coalesce(k.clean_tokens, []::INT[]) AS clean_tokens,
+             (len(ts.toks) - coalesce(k.nk, 0))::INT AS n_removed
+           FROM ts LEFT JOIN k USING (doc_id)""",
 
       "q_dup_clusters" ->
         """WITH RECURSIVE

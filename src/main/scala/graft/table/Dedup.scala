@@ -547,4 +547,125 @@ object Dedup {
         col("n_paras"),
         (col("n_paras") - coalesce(col("_nk"), lit(0L))).cast("int").as("n_removed"))
   }
+
+  /** Corpus-level EXACT-SUBSTRING dedup — the token-window form of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better", their
+    * ExactSubstr): every token covered by a length-`winLen` window whose exact
+    * content occurs EARLIER in the corpus is removed — UNLESS it is also
+    * covered by the FIRST occurrence of some repeated window. "Earlier" =
+    * smaller (doc id, position). The exemption guarantees every repeated
+    * window's content survives at least once (at its corpus-first
+    * occurrence): shared boilerplate is kept exactly once, and a periodic
+    * self-repeat (aaaa…) collapses to one window's worth instead of eroding
+    * its own first occurrence below winLen. Within-document repetition (the
+    * same span later in one doc) is cut by the same rule — this operator
+    * subsumes within-doc de-repetition. Adjacent/overlapping repeated
+    * windows merge into one removed span, so a repeated region of any
+    * length ≥ winLen is removed in full at its later occurrences.
+    *
+    * Output: one row per input doc — (id, clean_tokens: array<int> in
+    * original order, n_removed: int).
+    *
+    * Scale shape (the reference point is Lee et al.'s single-machine suffix
+    * array, which cannot shard):
+    *  1. window fingerprints are a ROLLING hash (graft.expr.WindowHashes,
+    *     codegen'd): a doc's n−L+1 windows cost O(n) total and no window
+    *     content is ever materialized;
+    *  2. the only corpus-scale shuffle carries (hash, id, pos) triples with
+    *     map-side combine on the hash — ~20 B per token position, the
+    *     distributed analogue of the suffix-array sort, and the token
+    *     payload never enters it;
+    *  3. the removal set (occurrences after the first) is diff-sized; it is
+    *     grouped to per-doc sorted start arrays and broadcast-joined back,
+    *     so clean output is produced by a zero-shuffle codegen'd projection
+    *     (graft.expr.RemoveCoveredSpans) over the unshuffled corpus —
+    *     falling back to a shuffled join only past `broadcastRemovalMax`;
+    *  4. when even the (hash,id,pos) shuffle is too hot, use
+    *     [[winnowedRepeatAnchors]] to cut it by ~2/(w+1) with a detection
+    *     guarantee instead of exact removal.
+    * Hash collisions: 64-bit content-hash trade as in [[exactDuplicates]]
+    * phase 1 — two distinct windows colliding would share a winner;
+    * negligible below ~10^9 distinct windows and caught by the oracle
+    * compare at test scale (the oracle groups by actual window content). */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, tokensCol: String,
+                        winLen: Int = 50,
+                        broadcastRemovalMax: Int = 4000000): DataFrame = {
+    val spark = df.sparkSession
+    val exploded = df.select(col(idCol).as("_id"),
+      posexplode(graft.expr.SpanExprs.windowHashes(col(tokensCol), winLen))
+        .as(Seq("_pos", "_h")))
+    // phase 1: first-occurrence winner per repeated window hash — key-only
+    val winners = exploded.groupBy("_h")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"), count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+    // phase 2: losing occurrences = removal window starts; winning
+    // occurrences of the same repeated groups = exempt coverage. Both are
+    // diff-sized and key-only ((id, pos) pairs)
+    val occ = exploded.join(winners, Seq("_h"))
+      .select(col("_id"), col("_pos"),
+        (struct(col("_id"), col("_pos")) === col("_w")).as("_isWin"))
+    // phase 3: group starts per doc. The repeated-occurrence set is
+    // diff-sized: collect once (capped) and fold to sorted start arrays on
+    // the driver — the common case joins a broadcast local relation, zero
+    // corpus shuffle
+    val occRows = occ.limit(broadcastRemovalMax + 1).collect()
+    val idType = df.schema(idCol).dataType
+    val intArray = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+    val startsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("_id", idType),
+      org.apache.spark.sql.types.StructField("_lstarts", intArray),
+      org.apache.spark.sql.types.StructField("_wstarts", intArray)))
+    val starts =
+      if (occRows.length <= broadcastRemovalMax) {
+        val byDoc = occRows.groupBy(_.get(0)).map { case (id, rows) =>
+          val (win, lose) = rows.partition(_.getBoolean(2))
+          org.apache.spark.sql.Row(id,
+            lose.map(_.getInt(1)).sorted.toSeq, win.map(_.getInt(1)).sorted.toSeq)
+        }.toSeq
+        broadcast(spark.createDataFrame(
+          java.util.Arrays.asList(byDoc: _*), startsSchema))
+      } else {
+        log.warn(s"dropRepeatedSpans: > $broadcastRemovalMax repeated windows; " +
+          "falling back to a shuffled starts join")
+        occ.groupBy("_id").agg(
+          sort_array(collect_list(when(!col("_isWin"), col("_pos")))).as("_lstarts"),
+          sort_array(collect_list(when(col("_isWin"), col("_pos")))).as("_wstarts"))
+      }
+    val cut = graft.expr.SpanExprs.removeCoveredSpans(
+      col(tokensCol),
+      coalesce(col("_lstarts"), array().cast("array<int>")),
+      coalesce(col("_wstarts"), array().cast("array<int>")), winLen)
+    df.select(col(idCol).as("_id"), col(tokensCol))
+      .join(starts, Seq("_id"), "left")
+      .select(col("_id").as(idCol), cut.as("_cut"))
+      .select(col(idCol), col("_cut.clean_tokens").as("clean_tokens"),
+        col("_cut.n_removed").as("n_removed"))
+  }
+
+  /** Winnowed repeated-span DETECTION (Schleimer et al., SIGMOD 2003) — the
+    * sub-linear-shuffle scale path for [[dropRepeatedSpans]]: each doc emits
+    * only its winnowing-selected anchor fingerprints (expected density
+    * 2/(w+1) of positions instead of every position), and any repeated span
+    * of length ≥ winLen + winnowW − 1 is GUARANTEED to share at least one
+    * anchor across its occurrences (selection is content-local, hence
+    * self-synchronizing). Returns the non-first occurrences of repeated
+    * anchors — (id, pos, h) rows marking where repeated content sits; feed
+    * the flagged (doc, neighborhood) pairs to exact verification or use the
+    * per-doc flag density as a boilerplate score. Detection-only by design:
+    * removal at anchor granularity would under-cut spans (anchors are a
+    * sample of the repeat), so exact removal stays with dropRepeatedSpans. */
+  def winnowedRepeatAnchors(df: DataFrame, idCol: String, tokensCol: String,
+                            winLen: Int = 50, winnowW: Int = 16): DataFrame = {
+    val anchors = df.select(col(idCol).as("_id"),
+      explode(graft.expr.SpanExprs.winnowedAnchors(col(tokensCol), winLen, winnowW))
+        .as("_a"))
+      .select(col("_id"), col("_a.pos").as("_pos"), col("_a.h").as("_h"))
+    val winners = anchors.groupBy("_h")
+      .agg(min(struct(col("_id"), col("_pos"))).as("_w"), count(lit(1)).as("_c"))
+      .filter(col("_c") > 1)
+    anchors.join(winners, Seq("_h"))
+      .filter(struct(col("_id"), col("_pos")) =!= col("_w"))
+      .select(col("_id").as(idCol), col("_pos").as("pos"), col("_h").as("anchor_hash"))
+  }
 }
