@@ -64,6 +64,25 @@ object DedupScale {
       paraDocs, "doc_id", "paras", minChars = 5)
       .agg(sum("n_removed")).collect()(0).getLong(0))
 
+    // exact-substring (repeated-span) dedup: 30 globally-unique tokens per
+    // doc + a shared 20-token boilerplate span on every 3rd doc; with
+    // winLen=8 every later boilerplate occurrence is fully covered, so the
+    // exact expectation is 20 removed tokens per boilerplate doc except the
+    // corpus-first — pins both wall time and removal-count exactness
+    val spanDocs = spark.range(rows).select(col("id").as("doc_id"),
+      concat(
+        transform(sequence(lit(0), lit(29)),
+          i => (col("id") * 30 + i + 1000000).cast("int")),
+        when(col("id") % 3 === 0,
+          transform(sequence(lit(0), lit(19)), i => i + 7))
+          .otherwise(array().cast("array<int>"))).as("tokens"))
+    val nBoil = (rows + 2) / 3
+    val (tSp, nSp) = timed(Dedup.dropRepeatedSpans(
+      spanDocs, "doc_id", "tokens", winLen = 8)
+      .agg(sum("n_removed")).collect()(0).getLong(0))
+    require(nSp == 20L * (nBoil - 1),
+      s"span dedup removed $nSp tokens, expected ${20L * (nBoil - 1)}")
+
     // connected components on a chain-heavy 2-rows-per-node graph (the
     // iterative worst case): distributed star rounds vs driver union-find
     val chain = spark.range(rows).toDF("i")
@@ -82,6 +101,7 @@ object DedupScale {
       s""""fuzzy_dedup_sec":$tFz,"fuzzy_collapsed":$nFz,""" +
       s""""hot_shingle_sec":$tHot,"hot_docs":$nHot,""" +
       s""""para_dedup_sec":$tPd,"para_removed":$nPd,""" +
+      s""""span_dedup_sec":$tSp,"span_removed":$nSp,""" +
       s""""cc_chain_nodes":$nCcD,"cc_distributed_sec":$tCcD,"cc_driver_sec":$tCcU}""")
     corpus.unpersist()
     spark.stop()
