@@ -17,7 +17,7 @@ object PlanAudit {
     val interesting = Seq("q1_agg", "q_join_agg", "q_ri_violations", "q_dup_salted",
       "q_ann_topk", "q_minhash_lsh", "q_row_violations", "q_window_bucket",
       "q_tdigest_ntok", "q_json_ingest", "q_containment", "q_hot_shingles",
-      "q_fuzzy_dedup", "q_snapshot_diff", "q_para_dedup",
+      "q_fuzzy_dedup", "q_snapshot_diff", "q_para_dedup", "q_span_dedup",
       "q_pii_scan", "q_gopher_filter", "q_semantic_dedup",
       "q_chunk_split", "q_pack_assign", "q_packed_seqs", "q_shard_order",
       "q_heavy_hitters", "q_histogram_nchars", "q_entropy_source",

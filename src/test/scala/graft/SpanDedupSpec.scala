@@ -103,6 +103,17 @@ class SpanDedupSpec extends SparkSpec {
     assert(nAnchors < nPositions, "winnowing must emit fewer fingerprints than positions")
   }
 
+  test("output plan: token payload never shuffles (starts relation broadcasts)") {
+    // the 100 TB property: below broadcastRemovalMax the clean output is a
+    // broadcast-joined codegen'd projection over the UNSHUFFLED corpus —
+    // zero ShuffleExchange in the final plan
+    val df = docs.toDF("id", "tokens")
+      .withColumn("tokens", col("tokens").cast("array<int>"))
+    val out = Dedup.dropRepeatedSpans(df, "id", "tokens", winLen = 5)
+    assert(graft.snapshot.BucketedTables.shuffleExchangeCount(out) === 0,
+      "final span-dedup plan must not shuffle the token payload")
+  }
+
   test("mega-repeat: one window repeated across every doc stays bounded and exact") {
     // 2,000 docs all containing the same 6-token boilerplate — the hot-hash
     // group holds 2,000 (id, pos) entries but only count/min aggregate over
