@@ -585,6 +585,24 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- similarity: one exact-arithmetic k-means (Lloyd) refinement step
+    //      over the quantized grid — the IVF centroid trainer's inner loop,
+    //      deterministic and engine-portable (see Similarity.kmeansRefineStep) ----
+    "q_kmeans_refine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val init = Similarity.kmeansInit(emb, "vec_id", "embedding", k = 8)
+      Similarity.kmeansRefineStep(emb, "vec_id", "embedding", init)
+    }),
+
+    // ---- text analysis: DSIR importance weights (hashed-bigram log-ratio
+    //      vs the English-target subset; see TextAnalysis.dsirLogWeights) ----
+    "q_dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val toks = graft.expr.TextExprs.asciiTokens(col("text"))
+      TextAnalysis.dsirLogWeights(docs, docs.filter(col("lang") === "en"),
+        "doc_id", toks)
+    }),
+
     // ---- text analysis: language ID ----
     "q_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
@@ -1488,6 +1506,32 @@ object SparkEntry {
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3""",
 
+      "q_kmeans_refine" ->
+        // one Lloyd step in the round(x*1000) integer grid: init = the same
+        // md5-hash-ranked 8 corpus vectors as q_ann_ivf, assignment by EXACT
+        // squared-L2 (ties to the smaller cell), new centroid component =
+        // Σqv/(n·1000) — integer sums, so bit-identical to the Spark side
+        """WITH q AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[], x -> round(x*1000)) qv FROM embeddings),
+           cent AS (SELECT row_number() OVER (ORDER BY
+               ('0x' || substr(md5(vec_id::VARCHAR),1,8))::BIGINT % 1000000, vec_id) - 1 AS ci,
+               qv cv FROM q QUALIFY ci < 8),
+           d AS (SELECT q.vec_id, c.ci,
+               list_sum(list_transform(range(1, len(q.qv)+1),
+                 i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) dist
+             FROM q CROSS JOIN cent c),
+           asg AS (SELECT vec_id, ci AS cell FROM
+             (SELECT vec_id, ci, row_number() OVER (PARTITION BY vec_id
+                ORDER BY dist, ci) rn FROM d) WHERE rn = 1),
+           m AS (SELECT cell, count(*) n FROM asg GROUP BY 1),
+           j AS (SELECT a.cell, q.qv FROM asg a JOIN q ON q.vec_id = a.vec_id),
+           u AS (SELECT cell, unnest(list_transform(range(1, len(qv)+1),
+             i -> {'dim': i, 'val': qv[i]})) s FROM j)
+           SELECT u.cell::INT AS cell, any_value(m.n)::BIGINT AS n_members,
+             (s.dim)::INT AS dim,
+             round(sum(s.val)/(any_value(m.n)*1000.0), 9) AS c_val
+           FROM u JOIN m USING (cell) GROUP BY u.cell, s.dim""",
+
       "q_near_dup_cosine" ->
         """WITH n AS (SELECT vec_id id, embedding::DOUBLE[] v,
              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) nrm
@@ -1550,6 +1594,28 @@ object SparkEntry {
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3"""
       },
+
+      "q_dsir_weights" ->
+        // DSIR hashed-bigram log-ratio weights vs the lang='en' target:
+        // bucket = ((t_i*32768 + t_{i+1}) mod 4096), ratio table pre-scaled
+        // to ⌊10^6·Δln + 0.5⌋ integers, per-doc score = exact integer sum —
+        // bit-identical to the Spark side's BigramLogSum projection
+        s"""WITH t AS (SELECT doc_id, lang, $tokSql toks FROM documents),
+           bg AS (SELECT doc_id, lang, unnest(list_transform(range(1, len(toks)),
+               i -> (((toks[i]::BIGINT*32768 + toks[i+1]) % 4096 + 4096) % 4096)::INT)) b
+             FROM t WHERE len(toks) >= 2),
+           tc AS (SELECT b, count(*) c FROM bg WHERE lang = 'en' GROUP BY 1),
+           rc AS (SELECT b, count(*) c FROM bg GROUP BY 1),
+           tt AS (SELECT sum(c)::DOUBLE s FROM tc),
+           rt AS (SELECT sum(c)::DOUBLE s FROM rc),
+           r AS (SELECT i.b, floor(1e6*(ln((coalesce(tc.c,0)+0.5)/(tt.s+0.5*4096))
+                                      - ln((coalesce(rc.c,0)+0.5)/(rt.s+0.5*4096))) + 0.5)::BIGINT rv
+             FROM (SELECT unnest(range(0,4096))::INT b) i
+             LEFT JOIN tc USING (b) LEFT JOIN rc USING (b) CROSS JOIN tt CROSS JOIN rt),
+           w AS (SELECT bg.doc_id, sum(r.rv)::BIGINT ws FROM bg JOIN r USING (b) GROUP BY 1)
+           SELECT t.doc_id, coalesce(w.ws, 0)::BIGINT AS w_scaled,
+             round(coalesce(w.ws, 0)/1e6, 6) AS weight
+           FROM t LEFT JOIN w USING (doc_id)""",
 
       "q_langid" -> {
         val langs = TextAnalysis.stopwords.keys.toSeq.sorted

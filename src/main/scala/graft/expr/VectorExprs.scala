@@ -65,6 +65,47 @@ object VectorUtil {
     new GenericArrayData(out.toArray)
   }
 
+  /** Grid quantization: round(x·scale) half-away-from-zero per component.
+    * Null element → null vector (see QuantizeVec). */
+  def quantize(v: ArrayData, scale: Double): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) return null
+      val x = v.getDouble(i) * scale
+      out(i) = if (x >= 0) Math.floor(x + 0.5) else Math.ceil(x - 0.5)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Argmin cell by squared L2 against k flattened centroids; ties to the
+    * smaller cell id; null elems / dim mismatch → null (see NearestCell). */
+  def nearestCell(v: ArrayData, cents: Array[Double], k: Int): java.lang.Integer = {
+    val dim = cents.length / k
+    val n = v.numElements()
+    if (n != dim) return null
+    var i = 0
+    while (i < n) { if (v.isNullAt(i)) return null; i += 1 }
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var d = 0
+      val off = c * dim
+      while (d < dim) {
+        val diff = v.getDouble(d) - cents(off + d)
+        acc += diff * diff
+        d += 1
+      }
+      if (acc < bestDist) { bestDist = acc; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Sign-LSH bucket id over `numPlanes` hyperplanes (flattened row-major):
     * bit i set iff dot(v, plane_i) > 0. A null/short vector sets no bit for
     * that plane (null projection compares false), same as the Column form. */
@@ -153,6 +194,61 @@ case class SignLshBucket(child: Expression, planes: Array[Double], numPlanes: In
   override protected def withNewChildInternal(c: Expression): SignLshBucket = copy(child = c)
 }
 
+/** `array<float|double> → array<double>` grid quantization: each component
+  * becomes round(x·scale) — an INTEGER-valued double (exact in IEEE754 while
+  * |x·scale| < 2^53), so every downstream distance / sum over quantized
+  * vectors is exact integer arithmetic: deterministic across partitioning,
+  * aggregation order, and engines (the DuckDB oracle replays it bit-for-bit).
+  * Rounding is half-away-from-zero, matching Spark's `round` and DuckDB's
+  * `round`. Null elements poison the vector to null. */
+case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorUtil.quantize(v.asInstanceOf[ArrayData], scale)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("qvRes")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.expr.VectorUtil.quantize($c, $scale);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): QuantizeVec = copy(child = c)
+}
+
+/** `array<double> → int` nearest-centroid cell id: argmin over the k flattened
+  * centroids of the squared L2 distance, ties to the smallest cell id. Over
+  * quantized (integer-valued) inputs the distances are exact, so the argmin is
+  * deterministic and engine-portable. The centroid matrix rides along as one
+  * reference object (k·dim doubles), not per-row literals — one codegen'd
+  * projection assigns the whole corpus, nothing shuffles. Null / dim-mismatch
+  * vectors → null. */
+case class NearestCell(child: Expression, centsFlat: Array[Double], k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    VectorUtil.nearestCell(v.asInstanceOf[ArrayData], centsFlat, k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("kmCents", centsFlat, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("cellRes")
+      s"""java.lang.Integer $tmp = graft.expr.VectorUtil.nearestCell($c, $cRef, $k);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  }
+  override def equals(o: Any): Boolean = o match {
+    case s: NearestCell => s.child == child && s.k == k &&
+      java.util.Arrays.equals(s.centsFlat, centsFlat)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode + java.util.Arrays.hashCode(centsFlat)) + k
+  override protected def withNewChildInternal(c: Expression): NearestCell = copy(child = c)
+}
+
 object VectorExprs {
   private def asDoubleArray(c: Column): Column = c.cast("array<double>")
   def dot(a: Column, b: Column): Column =
@@ -163,4 +259,8 @@ object VectorExprs {
       planes.flatten, planes.length))
   def cosinePairs(items: Column, minCosine: Double): Column =
     GraftSql.toColumn(CosinePairs(GraftSql.toExpression(items), minCosine))
+  def quantize(v: Column, scale: Double): Column =
+    GraftSql.toColumn(QuantizeVec(GraftSql.toExpression(asDoubleArray(v)), scale))
+  def nearestCell(qv: Column, cents: Array[Array[Double]]): Column =
+    GraftSql.toColumn(NearestCell(GraftSql.toExpression(qv), cents.flatten, cents.length))
 }

@@ -2,7 +2,7 @@ package graft.snapshot
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Iceberg-style snapshot semantics emulated over partitioned Parquet
   * (SURVEY §7.4.6 — no Iceberg jar ships in this sandbox; verified 0/287 jars).
@@ -143,6 +143,9 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
     if (f.exists(dataPath)) f.delete(dataPath, true) // uncommitted leftovers
     SnapshotWrite.clustered(df, partitionCol).write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionCol).parquet(dataPath.toString)
+    // per-file column stats sidecar BEFORE the marker: a committed snapshot
+    // always has stats; a crash leaves both invisible (see FileStats)
+    FileStats.write(f, new Path(tableRoot(table), "_filestats"), s"$id", dataPath)
     val marker = new Path(commits, id.toString)
     f.mkdirs(marker.getParent)
     val out = f.create(marker, false)
@@ -167,6 +170,69 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
     val upTo = asOf.getOrElse(
       ids.lastOption.getOrElse(throw new IllegalStateException(s"no snapshot in $table")))
     readRange(table, 0L, upTo)
+  }
+
+  /** [[readAsOf]] restricted to `column` ∈ [lo, hi], with Iceberg-manifest-
+    * style FILE SKIPPING: every commit/compaction persisted per-file min/max
+    * column stats ([[FileStats]], read once from the parquet footers at
+    * write time), so the driver drops whole data files whose range cannot
+    * intersect [lo, hi] BEFORE Spark plans the scan — no directory listing,
+    * no footer reads, no tasks for skipped files. On a standing append store
+    * whose layout clusters the stats column (e.g. time-ordered appends), a
+    * narrow predicate reads O(matching files), not O(table).
+    *
+    * The kept files still carry the ordinary pushed-down row-group filter
+    * (the residual predicate is applied normally), so results are identical
+    * to `readAsOf(...).filter(column between lo and hi)` — pinned by
+    * FileSkippingSpec. Snapshots without stats (pre-feature tables) fall
+    * back to reading the whole snapshot dir. Numeric bounds compare as
+    * BigDecimal (no 2^53 surprises); string pruning applies only when stats
+    * and bounds are all-ASCII (parquet orders binaries bytewise — a
+    * non-ASCII boundary falls back to keeping the file). */
+  def readAsOfWhere(table: String, column: String, lo: Any, hi: Any,
+                    asOf: Option[Long] = None): DataFrame = {
+    val ids = committedIds(table)
+    val upTo = asOf.getOrElse(
+      ids.lastOption.getOrElse(throw new IllegalStateException(s"no snapshot in $table")))
+    val base = tableRoot(table).toString
+    val statsDir = new Path(tableRoot(table), "_filestats")
+    val f = fs(tableRoot(table))
+
+    def snapDf(snapIds: Seq[Long]): Option[DataFrame] = {
+      // per snapshot: stats-pruned file list, or the whole dir when no stats
+      val (noStats, withStats) = snapIds.partition(id =>
+        FileStats.keptFiles(f, statsDir, id.toString, new Path(base, s"snap=$id"),
+          column, lo, hi).isEmpty)
+      val keptFiles = withStats.flatMap(id =>
+        FileStats.keptFiles(f, statsDir, id.toString, new Path(base, s"snap=$id"),
+          column, lo, hi).get)
+      val paths = noStats.map(id => s"$base/snap=$id") ++ keptFiles
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", base).parquet(paths: _*)
+        .withColumnRenamed("snap", "_snap_id")
+        .withColumn("_snap_id", col("_snap_id").cast("long")))
+    }
+
+    def compactDf(k: Long, a: Long, b: Long): Option[DataFrame] = {
+      val dir = new Path(base, s"compact=$k")
+      val kept = FileStats.keptFiles(f, statsDir, s"compact_$k", dir, column, lo, hi)
+      val paths = kept.getOrElse(Seq(dir.toString))
+      if (paths.isEmpty) None
+      // basePath keeps the layout partition column when reading explicit files
+      else Some(spark.read.option("basePath", dir.toString).parquet(paths: _*)
+        .withColumn("_snap_id", col("_snap_id").cast("long"))
+        .filter(col("_snap_id") > a && col("_snap_id") <= b))
+    }
+
+    val parts: Seq[DataFrame] = latestCompaction(table) match {
+      case Some(k) =>
+        val later = ids.filter(id => id > k && id <= upTo)
+        compactDf(k, 0L, math.min(k, upTo)).toSeq ++ snapDf(later).toSeq
+      case None => snapDf(ids.filter(_ <= upTo)).toSeq
+    }
+    val unioned = parts.reduceOption(_ unionByName _).getOrElse(
+      readAsOf(table, Some(upTo)).limit(0))
+    unioned.filter(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 
   /** The DELTA: rows appended in snapshots (fromExclusive, toInclusive]. */
@@ -230,6 +296,7 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
       .sortWithinPartitions(col(partitionCol), col("_snap_id"))
       .write.mode(SaveMode.ErrorIfExists)
       .partitionBy(partitionCol).parquet(dataPath.toString)
+    FileStats.write(f, new Path(tableRoot(table), "_filestats"), s"compact_$upTo", dataPath)
     val marker = new Path(new Path(tableRoot(table), "_compactions"), upTo.toString)
     f.mkdirs(marker.getParent)
     f.create(marker, false).close()
@@ -255,6 +322,160 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
       }
       victims.foreach(p => f.delete(p, true))
       victims.size
+  }
+}
+
+/** Per-file column min/max stats sidecars — the Iceberg-manifest analogue
+  * that makes [[AppendSnapshotStore.readAsOfWhere]] skip whole data files on
+  * the driver. Written ONCE per commit/compaction by reading the parquet
+  * footers of the just-written files (they are small and warm); read back as
+  * one tiny driver-side file per snapshot — planning a pruned scan costs no
+  * listing and no tasks.
+  *
+  * Format (`_filestats/<name>`, TAB-separated, URL-encoded values):
+  * {{{
+  *   FILE <relpath>                                every data file (so the
+  *                                                 reader never lists dirs)
+  *   COL  <relpath> <column> <typ> <min> <max>     per top-level primitive
+  * }}}
+  * Columns without stats (all-null, nested, unsupported physical type) have
+  * no COL line and are never pruned on. */
+private[snapshot] object FileStats {
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.parquet.schema.LogicalTypeAnnotation
+  import scala.jdk.CollectionConverters._
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def listParquet(f: FileSystem, dir: Path): Seq[Path] = {
+    val it = f.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) out += st.getPath
+    }
+    out.toSeq
+  }
+
+  /** Read the footers of every data file under `dataPath` and persist one
+    * stats sidecar `statsDir/<name>`. Called BEFORE the commit marker, so a
+    * visible snapshot always has its sidecar. */
+  def write(f: FileSystem, statsDir: Path, name: String, dataPath: Path): Unit = {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    listParquet(f, dataPath).foreach { file =>
+      val rel = file.toString.stripPrefix(dataPath.toString).stripPrefix("/")
+      lines += s"FILE\t${enc(rel)}"
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(file, f.getConf))
+      try {
+        val schema = reader.getFileMetaData.getSchema
+        // (typ, min, max) per top-level primitive column, merged across blocks
+        val acc = scala.collection.mutable.LinkedHashMap[String, (String, String, String)]()
+        var ok = Set.empty[String]
+        var bad = Set.empty[String]
+        reader.getFooter.getBlocks.asScala.foreach { block =>
+          block.getColumns.asScala.foreach { cc =>
+            val path = cc.getPath.toArray
+            if (path.length == 1) {
+              val colName = path(0)
+              val st = cc.getStatistics
+              val fieldIdx = schema.getFieldIndex(colName)
+              val fld = schema.getType(fieldIdx)
+              val prim = fld.asPrimitiveType()
+              val typ: Option[String] = prim.getPrimitiveTypeName match {
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => Some("I")
+                case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("F")
+                case PrimitiveTypeName.BINARY
+                  if fld.getLogicalTypeAnnotation ==
+                    LogicalTypeAnnotation.stringType() => Some("S")
+                case _ => None
+              }
+              if (typ.isEmpty || st == null || !st.hasNonNullValue || st.isEmpty)
+                bad += colName
+              else {
+                val (mn, mx) = typ.get match {
+                  case "S" =>
+                    (st.genericGetMin.asInstanceOf[org.apache.parquet.io.api.Binary]
+                       .toStringUsingUTF8,
+                     st.genericGetMax.asInstanceOf[org.apache.parquet.io.api.Binary]
+                       .toStringUsingUTF8)
+                  case _ => (st.genericGetMin.toString, st.genericGetMax.toString)
+                }
+                // a NaN min/max (float/double) is unorderable — drop the column
+                try {
+                  acc.get(colName) match {
+                    case None => acc(colName) = (typ.get, mn, mx)
+                    case Some((t, oMn, oMx)) =>
+                      val nMn = if (lt(t, mn, oMn)) mn else oMn
+                      val nMx = if (lt(t, oMx, mx)) mx else oMx
+                      acc(colName) = (t, nMn, nMx)
+                  }
+                  ok += colName
+                } catch { case _: NumberFormatException => bad += colName }
+              }
+            }
+          }
+        }
+        (ok -- bad).foreach { c =>
+          val (t, mn, mx) = acc(c)
+          lines += s"COL\t${enc(rel)}\t${enc(c)}\t$t\t${enc(mn)}\t${enc(mx)}"
+        }
+      } finally reader.close()
+    }
+    f.mkdirs(statsDir)
+    val out = f.create(new Path(statsDir, name), true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def lt(typ: String, a: String, b: String): Boolean = typ match {
+    case "S" => a < b
+    case _ => BigDecimal(a) < BigDecimal(b)
+  }
+
+  /** The data files under `dataPath` that can contain `column` ∈ [lo, hi],
+    * as absolute path strings — or None when no sidecar exists (caller reads
+    * the whole dir). Files without stats for `column` are kept. */
+  def keptFiles(f: FileSystem, statsDir: Path, name: String, dataPath: Path,
+                column: String, lo: Any, hi: Any): Option[Seq[String]] = {
+    val sf = new Path(statsDir, name)
+    if (!f.exists(sf)) return None
+    val in = f.open(sf)
+    val content = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val files = scala.collection.mutable.LinkedHashSet[String]()
+    val stats = scala.collection.mutable.HashMap[String, (String, String, String)]()
+    content.split("\n").filter(_.nonEmpty).foreach { line =>
+      val p = line.split("\t", -1)
+      p(0) match {
+        case "FILE" => files += dec(p(1))
+        case "COL" if dec(p(2)) == column =>
+          stats(dec(p(1))) = (p(3), dec(p(4)), dec(p(5)))
+        case _ =>
+      }
+    }
+    def ascii(s: String): Boolean = s.forall(_ < 0x80)
+    Some(files.toSeq.filter { rel =>
+      stats.get(rel) match {
+        case None => true
+        case Some((t, mn, mx)) => t match {
+          case "S" =>
+            val (l, h) = (lo.toString, hi.toString)
+            if (ascii(mn) && ascii(mx) && ascii(l) && ascii(h))
+              mn <= h && mx >= l
+            else true
+          case _ =>
+            try {
+              val l = BigDecimal(lo.toString); val h = BigDecimal(hi.toString)
+              BigDecimal(mn) <= h && BigDecimal(mx) >= l
+            } catch { case _: NumberFormatException => true } // unparseable → keep
+        }
+      }
+    }.map(rel => new Path(dataPath, rel).toString))
   }
 }
 

@@ -118,6 +118,24 @@ object GraftFunctions {
         RollingFingerprint(asIntArray(args.head))
       }),
 
+    ("graft_bigram_buckets",
+      info("graft_bigram_buckets",
+        "graft_bigram_buckets(tokens, buckets) - hashed token-bigram feature buckets (DSIR featurization)"),
+      (args: Seq[Expression]) => {
+        arity("graft_bigram_buckets", args, 1, 2)
+        val b = if (args.size > 1) longArg(args(1), "buckets").toInt else 4096
+        BigramBuckets(asIntArray(args.head), b)
+      }),
+
+    ("graft_quantize",
+      info("graft_quantize",
+        "graft_quantize(vec, scale) - integer-grid vector quantization round(x*scale)"),
+      (args: Seq[Expression]) => {
+        arity("graft_quantize", args, 1, 2)
+        val s = if (args.size > 1) longArg(args(1), "scale").toDouble else 1000.0
+        QuantizeVec(asDoubleArray(args.head), s)
+      }),
+
     ("graft_pii_redact",
       info("graft_pii_redact",
         "graft_pii_redact(text) - replace email/card/ssn/phone/ipv4 matches with <CATEGORY> placeholders"),

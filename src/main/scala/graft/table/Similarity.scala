@@ -111,16 +111,21 @@ object Similarity {
     * as a cell-bucketed table and reuse it across query batches; the
     * per-batch plan is identical. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist,
-      s"need 1 <= nprobe <= nlist, got nlist=$nlist nprobe=$nprobe")
+              queryIdCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2,
+              centroids: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val effNlist = centroids.map(_.size).getOrElse(nlist)
+    require(effNlist >= 1 && nprobe >= 1 && nprobe <= effNlist,
+      s"need 1 <= nprobe <= nlist, got nlist=$effNlist nprobe=$nprobe")
     // deterministic centroids: smallest nlist by (md5-bucket, id) — a
-    // TakeOrderedAndProject, never a global sort
-    val cents: Seq[(Int, Seq[Double])] = corpus
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .orderBy(Sampling.hashBucket(col("cid")), col("cid"))
-      .limit(nlist).collect().toSeq
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // TakeOrderedAndProject, never a global sort. `centroids` overrides with
+    // a trained set (kmeansCentroids) without changing the query plan.
+    val cents: Seq[(Int, Seq[Double])] = centroids
+      .map(_.zipWithIndex.map { case (cv, i) => (i, cv) })
+      .getOrElse(corpus
+        .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+        .orderBy(Sampling.hashBucket(col("cid")), col("cid"))
+        .limit(nlist).collect().toSeq
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) })
 
     // per-vector centroid scores as array<struct<s, nc>>: array_max picks
     // (max rounded score, then max nc = -ci → SMALLEST cell id on ties)
@@ -144,5 +149,87 @@ object Similarity {
       .withColumn("cosine", cosine(col("item_vec"), col("query_vec")))
       .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select("query_id", "item_id", "cosine", "rank")
+  }
+
+  // ---------------------------------------------------------------------
+  // Distributed k-means (Lloyd) — trained centroids for the IVF index.
+  //
+  // All arithmetic runs in a quantized integer grid (QuantizeVec: component
+  // → round(x·scale), an integer-valued double): distances and per-cell sums
+  // are then EXACT, so assignments and centroid updates are deterministic
+  // across partitioning, aggregation order, retries, and engines — the
+  // DuckDB oracle replays one refinement step bit-for-bit (q_kmeans_refine).
+  //
+  // Scale shape per iteration: ONE codegen'd projection assigns the corpus
+  // (NearestCell carries the k·dim centroid matrix as a reference object),
+  // ONE map-side-combined aggregation reduces it to k partial-sum rows
+  // (VectorSumAgg state = dim doubles/group), and the k×dim result collects
+  // to the driver. The corpus never shuffles; per-iteration exchange traffic
+  // is O(tasks · k · dim) doubles. At 10^12 rows you would train on a
+  // deterministicSample and assign the full corpus once at the end — the
+  // plan is identical.
+  // ---------------------------------------------------------------------
+
+  /** Deterministic initial centroids in the quantized grid: the md5-hash-
+    * ranked exact-`k` corpus sample (same election as ivfTopK), quantized. */
+  def kmeansInit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                 scale: Double = 1000.0): Seq[Array[Double]] =
+    df.select(col(idCol).as("cid"),
+        graft.expr.VectorExprs.quantize(col(vecCol), scale).as("qv"))
+      .orderBy(Sampling.hashBucket(col("cid")), col("cid"))
+      .limit(k).collect().toSeq.map(_.getSeq[Double](1).toArray)
+
+  /** One Lloyd refinement step over quantized centroids, as a DataFrame of
+    * `(cell, n_members, dim, c_val)` — dim is 1-based, c_val the DEQUANTIZED
+    * new centroid component Σqv/(n·scale). Exact integer arithmetic end to
+    * end (see object comment), so the output is engine-portable. Cells that
+    * captured no members emit no rows. */
+  def kmeansRefineStep(df: DataFrame, idCol: String, vecCol: String,
+                       cents: Seq[Array[Double]],
+                       scale: Double = 1000.0): DataFrame = {
+    val qv = graft.expr.VectorExprs.quantize(col(vecCol), scale)
+    val assigned = df
+      .select(graft.expr.VectorExprs.nearestCell(qv, cents.toArray).as("cell"), qv.as("qv"))
+      .filter(col("cell").isNotNull)
+    assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.VectorSum(col("qv")).as("sums"))
+      .select(col("cell"), col("n_members"), posexplode(col("sums")).as(Seq("pos", "s")))
+      .select(col("cell"), col("n_members"), (col("pos") + 1).as("dim"),
+        round(col("s") / (col("n_members") * lit(scale)), 9).as("c_val"))
+  }
+
+  /** Full Lloyd training: `iters` refinement steps from the deterministic
+    * hash-sample initialization. Returns DEQUANTIZED centroids (cell →
+    * vector) ready for `ivfTopK(centroids = Some(...))`. New centroids are
+    * re-quantized to the same grid each round (nearest integer), keeping
+    * every iteration exact; a cell that loses all members keeps its previous
+    * centroid (the standard empty-cluster fallback). */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                      iters: Int = 5, scale: Double = 1000.0): Seq[Seq[Double]] = {
+    var cents = kmeansInit(df, idCol, vecCol, k, scale)
+    require(cents.nonEmpty, "kmeansCentroids on an empty corpus")
+    val qv = graft.expr.VectorExprs.quantize(col(vecCol), scale)
+    var it = 0
+    while (it < iters) {
+      val sums = df
+        .select(graft.expr.VectorExprs.nearestCell(qv, cents.toArray).as("cell"), qv.as("qv"))
+        .filter(col("cell").isNotNull)
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"), graft.functions.VectorSum(col("qv")).as("sums"))
+        .collect()
+      val next = cents.toArray
+      sums.foreach { r =>
+        val cell = r.getInt(0)
+        val n = r.getLong(1).toDouble
+        next(cell) = r.getSeq[Double](2).toArray.map { s =>
+          val x = s / n
+          if (x >= 0) Math.floor(x + 0.5) else Math.ceil(x - 0.5)
+        }
+      }
+      cents = next.toSeq
+      it += 1
+    }
+    cents.map(_.toSeq.map(_ / scale))
   }
 }

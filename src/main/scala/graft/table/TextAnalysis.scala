@@ -272,4 +272,83 @@ object TextAnalysis {
       .filter(col("rk") <= k)
       .select(col(idCol), col("tok"), col("tf"), col("tfidf"), col("rk"))
   }
+
+  // ---------------------------------------------------------------------
+  // DSIR importance weighting (Xie et al. 2023): score every raw document by
+  // how target-like its hashed-bigram distribution is, for importance
+  // resampling of a 100 TB crawl toward a quality target corpus.
+  // ---------------------------------------------------------------------
+
+  /** Hashed-bigram bucket counts of a corpus as a driver-side array — the
+    * "fit" half of DSIR. One map-side-combined aggregation to ≤`buckets`
+    * rows (the 100 TB side reduces to a 4096-long histogram before anything
+    * crosses an exchange); the collect is O(buckets). */
+  def hashedBigramCounts(df: DataFrame, tokCol: Column, buckets: Int = 4096): Array[Long] = {
+    val counts = new Array[Long](buckets)
+    df.select(explode(graft.expr.DsirExprs.bigramBuckets(tokCol, buckets)).as("b"))
+      .groupBy("b").count().collect()
+      .foreach(r => counts(r.getInt(0)) = r.getLong(1))
+    counts
+  }
+
+  /** Integer-scaled smoothed log-ratio table: ⌊10^6·(ln p̂_target(b) −
+    * ln q̂_raw(b)) + 0.5⌋ with add-`alpha` smoothing. Driver-side, O(buckets). */
+  def dsirRatioTable(targetCounts: Array[Long], rawCounts: Array[Long],
+                     alpha: Double = 0.5): Array[Long] = {
+    require(targetCounts.length == rawCounts.length)
+    val b = targetCounts.length
+    val tt = targetCounts.sum.toDouble + alpha * b
+    val tr = rawCounts.sum.toDouble + alpha * b
+    Array.tabulate(b) { i =>
+      val d = math.log((targetCounts(i) + alpha) / tt) -
+        math.log((rawCounts(i) + alpha) / tr)
+      Math.floor(1e6 * d + 0.5).toLong
+    }
+  }
+
+  /** DSIR log importance weights: per raw document, Σ over its hashed token
+    * bigrams of the scaled log-ratio log(p̂_target/q̂_raw). Returns
+    * `(idCol, w_scaled: bigint, weight: double)` — `w_scaled` is the exact
+    * integer score (10^6-scaled), `weight` its 6dp decimal form. Higher ⇒
+    * more target-like; resample/filter on it ([[dsirSelectTopFraction]]).
+    *
+    * Scale shape: two histogram fits (map-side-combined, O(buckets) driver
+    * state) + ONE codegen'd scoring projection with the ratio table riding
+    * as a reference object — the raw corpus is read twice and never
+    * shuffles. Deterministic end to end: integer bucket hash, integer score
+    * sum (see DsirExprs). */
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                     tokCol: Column, buckets: Int = 4096,
+                     alpha: Double = 0.5): DataFrame = {
+    val table = dsirRatioTable(
+      hashedBigramCounts(target, tokCol, buckets),
+      hashedBigramCounts(raw, tokCol, buckets), alpha)
+    raw.select(col(idCol),
+        graft.expr.DsirExprs.bigramLogSum(tokCol, table, buckets).as("w_scaled"))
+      .withColumn("weight", round(col("w_scaled") / 1e6, 6))
+  }
+
+  /** Keep the most target-like ~`fraction` of rows by DSIR weight. The
+    * threshold comes from the INTEGER-weight histogram (a |distinct weights|-
+    * sized map-side-combined aggregation — never a global sort or window),
+    * then selection is a zero-shuffle codegen'd filter. All rows TIED at the
+    * boundary weight are kept, so the result has ≥ ⌈fraction·n⌉ rows (exact
+    * when the boundary has no ties) and is fully deterministic — no
+    * per-row ranking state anywhere. */
+  def dsirSelectTopFraction(weights: DataFrame, fraction: Double): DataFrame = {
+    require(fraction > 0 && fraction <= 1, s"fraction $fraction out of (0,1]")
+    val hist = weights.groupBy("w_scaled").count()
+      .orderBy(col("w_scaled").desc).collect()
+    val n = hist.map(_.getLong(1)).sum
+    val keep = math.ceil(n * fraction).toLong
+    var acc = 0L
+    var thresh = Long.MinValue
+    val it = hist.iterator
+    while (it.hasNext && acc < keep) {
+      val r = it.next()
+      thresh = r.getLong(0)
+      acc += r.getLong(1)
+    }
+    weights.filter(col("w_scaled") >= thresh)
+  }
 }
