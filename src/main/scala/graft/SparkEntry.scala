@@ -585,6 +585,32 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- dedup: WITHIN-document repeated-line removal (C4 rule at line
+    //      granularity; zero-shuffle codegen'd projection) ----
+    "q_line_dedup" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      val nSeg = ((size(words) + 3) / 4).cast("int")
+      val paras = transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(words, i * 4 + 1, lit(4)), " "))
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(paras).as("n_paras"),
+          TextAnalysis.dedupDocLines(paras, minLen = 10).as("clean"))
+        .select(col("doc_id"), col("n_paras"), size(col("clean")).as("n_kept"),
+          array_join(col("clean"), "|").as("clean_text"))
+    }),
+
+    // ---- sampling: temperature-flattened data mixing (shares ∝ w^(1/τ)) ----
+    "q_mix_temp" -> ((s, dir) =>
+      Sampling.mixWithTemperature(t(s, dir, "documents"), "source", "doc_id",
+        "n_chars", tau = 2.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))),
+
+    // ---- similarity: mean-pooled embedding per label (chunk→doc pooling
+    //      shape; exact integer sums in the quantized grid) ----
+    "q_mean_pool" -> ((s, dir) =>
+      Similarity.meanPoolQuantized(t(s, dir, "embeddings"), "label", "embedding")),
+
     // ---- similarity: one exact-arithmetic k-means (Lloyd) refinement step
     //      over the quantized grid — the IVF centroid trainer's inner loop,
     //      deterministic and engine-portable (see Similarity.kmeansRefineStep) ----
@@ -1505,6 +1531,48 @@ object SparkEntry {
                ORDER BY cosine DESC, item_id) rank FROM scored)
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3""",
+
+      "q_line_dedup" ->
+        // same 4-word paragraph segmentation as q_para_dedup; keep-first
+        // within-doc dedup of lines >= 10 code points, short lines exempt
+        """WITH d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+           d2 AS (SELECT doc_id, list_transform(range((len(words)+3)//4),
+                    i -> array_to_string(words[i*4+1:i*4+4], ' ')) AS paras FROM d),
+           c AS (SELECT doc_id, paras, list_filter(paras,
+                    (x, i) -> length(x) < 10 OR list_position(paras, x) = i) AS clean
+                 FROM d2)
+           SELECT doc_id, len(paras)::INT AS n_paras, len(clean)::INT AS n_kept,
+             array_to_string(clean, '|') AS clean_text FROM c""",
+
+      "q_mix_temp" ->
+        // temperature τ=2: share_s ∝ sum(n_chars)^(1/2) rounded to 9dp, then
+        // the same scarcest-stratum-whole fraction pipeline as q_mix_sample
+        """WITH avail AS (SELECT source, sum(n_chars)::DOUBLE AS w FROM documents
+             GROUP BY 1 HAVING sum(n_chars) > 0),
+           p AS (SELECT source, pow(w, 0.5) AS pw FROM avail),
+           sh AS (SELECT source, round(pw / (SELECT sum(pw) FROM p), 9) AS share FROM p),
+           j AS (SELECT a.source, a.w, s.share FROM avail a JOIN sh s USING (source)),
+           fr AS (SELECT source,
+                    least(1.0::DOUBLE, share * (SELECT min(w / share) FROM j) / w) AS f
+                  FROM j),
+           kept AS (
+             SELECT d.source, d.n_chars FROM documents d JOIN fr USING (source)
+             WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+                   < trunc(f * 1e6)::BIGINT)
+           SELECT source, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
+           FROM kept GROUP BY 1""",
+
+      "q_mean_pool" ->
+        // mean embedding per label in the round(x*1000) grid — integer sums,
+        // bit-identical to the Spark VectorSumAgg path
+        """WITH q AS (SELECT label,
+             list_transform(embedding::DOUBLE[], x -> round(x*1000)) qv FROM embeddings),
+           m AS (SELECT label, count(*) n FROM q GROUP BY 1),
+           u AS (SELECT label, unnest(list_transform(range(1, len(qv)+1),
+             i -> {'dim': i, 'val': qv[i]})) s FROM q)
+           SELECT u.label, any_value(m.n)::BIGINT AS n_members, (s.dim)::INT AS dim,
+             round(sum(s.val)/(any_value(m.n)*1000.0), 9) AS c_val
+           FROM u JOIN m USING (label) GROUP BY u.label, s.dim""",
 
       "q_kmeans_refine" ->
         // one Lloyd step in the round(x*1000) integer grid: init = the same

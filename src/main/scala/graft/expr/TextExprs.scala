@@ -45,6 +45,25 @@ object TextUtil {
     n
   }
 
+  /** Keep-first within-array dedup of elements with ≥ minLen code points;
+    * shorter (and null) elements always kept; order preserved. */
+  def dedupLines(arr: ArrayData, minLen: Int): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) out += null
+      else {
+        val u = arr.getUTF8String(i)
+        val s = u.toString
+        if (s.codePointCount(0, s.length) < minLen || seen.add(s)) out += u.clone()
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private val fpPow: Array[Long] = Array.tabulate(8)(i => math.pow(31.0, i).toLong)
 
   /** Σ t_i·31^(i mod 8) mod (2^31−1), long arithmetic wrapping like the
@@ -162,6 +181,25 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): AsciiTokens = copy(child = c)
 }
 
+/** `array<string> → array<string>` within-document line/paragraph dedup
+  * (the C4 rule of Raffel et al. 2020 §2.2 at line granularity): keep the
+  * FIRST occurrence of each element of at least `minLen` code points; keep
+  * every shorter element unconditionally (short separators/bullets are not
+  * boilerplate evidence). Order is preserved. Codegen'd one-pass hash-set
+  * scan per document — the HOF formulation (`filter` with `array_position`)
+  * is both interpreted and O(n²). Null elements are kept as-is (they carry
+  * no dedup evidence); semantics match the DuckDB indexed `list_filter`
+  * oracle. */
+case class DedupLines(child: Expression, minLen: Int) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.dedupLines(v.asInstanceOf[ArrayData], minLen)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.dedupLines($c, $minLen)")
+  override protected def withNewChildInternal(c: Expression): DedupLines = copy(child = c)
+}
+
 /** `string` → `int` stopword hit count (codegen'd); the word set rides along
   * as a reference object. */
 case class StopwordHits(child: Expression, words: Seq[String]) extends UnaryExpression {
@@ -254,4 +292,6 @@ object TextExprs {
     GraftSql.toColumn(DupBigramFraction(GraftSql.toExpression(tokens.cast("array<int>"))))
   def nfcNormalize(text: Column): Column =
     GraftSql.toColumn(NfcNormalize(GraftSql.toExpression(text)))
+  def dedupLines(paras: Column, minLen: Int): Column =
+    GraftSql.toColumn(DedupLines(GraftSql.toExpression(paras.cast("array<string>")), minLen))
 }

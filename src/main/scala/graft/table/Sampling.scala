@@ -69,6 +69,33 @@ object Sampling {
     stratifiedSample(df, strataCol, keyCol, fractions, default = 0.0)
   }
 
+  /** Temperature-flattened data mixing (the multilingual/UniMax recipe —
+    * Arivazhagan et al. 2019 §4.2 use p ∝ c^(1/τ)): derive target shares
+    * from the OBSERVED per-stratum weights, share_s ∝ w_s^(1/τ), then feed
+    * them through [[mixToTarget]]'s scarcest-stratum-whole fraction
+    * arithmetic. τ = 1 reproduces natural proportions (keeps everything);
+    * τ → ∞ flattens toward uniform, down-sampling the head strata. Shares
+    * are rounded to 9dp so the derived table is engine-portable (the DuckDB
+    * oracle replays the same pow/normalize/round pipeline).
+    *
+    * Cost on top of mixToTarget: one extra map-side-combined aggregation to
+    * |strata| rows — the 100 TB side still only ever runs the zero-shuffle
+    * deterministic keep filter. */
+  def mixWithTemperature(df: DataFrame, strataCol: String, keyCol: String,
+                         weightCol: String, tau: Double): DataFrame = {
+    require(tau >= 1.0, s"temperature tau must be >= 1, got $tau")
+    val avail = df.groupBy(strataCol).agg(sum(col(weightCol).cast("long")).as("w"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .filter(_._2 > 0L).sortBy(_._1)
+    require(avail.nonEmpty, "no stratum with positive weight")
+    val pows = avail.map { case (s, w) => s -> math.pow(w.toDouble, 1.0 / tau) }
+    val tot = pows.map(_._2).sum
+    val shares = pows.map { case (s, p) =>
+      s -> BigDecimal(p / tot).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    mixToTarget(df, strataCol, keyCol, weightCol, shares)
+  }
+
   /** EXACTLY `k` rows per stratum (fewer when the stratum is smaller):
     * uniform without replacement by ranking on the key hash — a
     * deterministic reservoir. One shuffle on the stratum key; at web scale

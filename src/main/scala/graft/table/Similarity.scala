@@ -199,6 +199,27 @@ object Similarity {
         round(col("s") / (col("n_members") * lit(scale)), 9).as("c_val"))
   }
 
+  /** Mean-pooled embedding per group in the quantized grid — the
+    * chunk-embeddings → document-embedding (or per-label centroid) pooling
+    * step, as `(group, n_members, dim, c_val)` rows with `dim` 1-based and
+    * `c_val = Σ round(x·scale) / (n·scale)`. Exact integer sums
+    * (QuantizeVec + VectorSumAgg), so the pooled vectors are deterministic
+    * across partitioning and engines. Same shape as [[kmeansRefineStep]]:
+    * one codegen'd projection + one map-side-combined aggregation to
+    * |groups| rows — the vectors never shuffle. */
+  def meanPoolQuantized(df: DataFrame, groupCol: String, vecCol: String,
+                        scale: Double = 1000.0): DataFrame = {
+    val qv = graft.expr.VectorExprs.quantize(col(vecCol), scale)
+    df.select(col(groupCol), qv.as("qv"))
+      .filter(col("qv").isNotNull)
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.VectorSum(col("qv")).as("sums"))
+      .select(col(groupCol), col("n_members"), posexplode(col("sums")).as(Seq("pos", "s")))
+      .select(col(groupCol), col("n_members"), (col("pos") + 1).as("dim"),
+        round(col("s") / (col("n_members") * lit(scale)), 9).as("c_val"))
+  }
+
   /** Full Lloyd training: `iters` refinement steps from the deterministic
     * hash-sample initialization. Returns DEQUANTIZED centroids (cell →
     * vector) ready for `ivfTopK(centroids = Some(...))`. New centroids are

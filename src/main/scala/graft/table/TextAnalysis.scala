@@ -273,6 +273,16 @@ object TextAnalysis {
       .select(col(idCol), col("tok"), col("tf"), col("tfidf"), col("rk"))
   }
 
+  /** Within-document line/paragraph dedup — the C4 rule (Raffel et al. 2020
+    * §2.2) at line granularity: later occurrences of a repeated line of at
+    * least `minLen` code points are dropped from the document; shorter lines
+    * are exempt (separators/bullets). A zero-shuffle codegen'd projection
+    * (graft.expr.DedupLines, one hash-set pass per doc) — 100 TB in, 100 TB
+    * out, no exchange. Corpus-WIDE repeats are [[graft.table.Dedup.dropRepeatedParagraphs]];
+    * this is the in-document complement. */
+  def dedupDocLines(paras: Column, minLen: Int = 20): Column =
+    graft.expr.TextExprs.dedupLines(paras, minLen)
+
   // ---------------------------------------------------------------------
   // DSIR importance weighting (Xie et al. 2023): score every raw document by
   // how target-like its hashed-bigram distribution is, for importance
