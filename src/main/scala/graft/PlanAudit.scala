@@ -24,7 +24,9 @@ object PlanAudit {
       "q_incremental_manifest",
       "q_token_drift", "q_token_drift_by", "q_expectations_by",
       "q_group_anomaly", "q_infer_profile",
-      "q_dup_composite", "q_fd_violations", "q_order_integrity", "q_corr_drift")
+      "q_dup_composite", "q_fd_violations", "q_order_integrity", "q_corr_drift",
+      "q_kmeans_refine", "q_dsir_weights", "q_line_dedup", "q_mix_temp",
+      "q_mean_pool")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute first: under AQE the pre-execution plan is the INITIAL one,

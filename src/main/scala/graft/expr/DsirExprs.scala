@@ -57,6 +57,7 @@ object DsirUtil {
   * featurization pass that fits the target/raw bucket distributions. */
 case class BigramBuckets(child: Expression, buckets: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null elements poison to null
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     DsirUtil.bigramBuckets(v.asInstanceOf[ArrayData], buckets)
@@ -79,6 +80,7 @@ case class BigramLogSum(child: Expression, table: Array[Long], buckets: Int)
     extends UnaryExpression {
   require(table.length == buckets, s"table size ${table.length} != buckets $buckets")
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true // null elements poison to null
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     DsirUtil.bigramLogSum(v.asInstanceOf[ArrayData], table, buckets)

@@ -203,6 +203,10 @@ case class SignLshBucket(child: Expression, planes: Array[Double], numPlanes: In
   * `round`. Null elements poison the vector to null. */
 case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression {
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  // may return null for a NON-null child (null element): without this
+  // override codegen folds ev.isNull to the constant "false" and the
+  // generated assignment fails to compile (silent interpreter fallback)
+  override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     VectorUtil.quantize(v.asInstanceOf[ArrayData], scale)
@@ -227,6 +231,7 @@ case class QuantizeVec(child: Expression, scale: Double) extends UnaryExpression
 case class NearestCell(child: Expression, centsFlat: Array[Double], k: Int)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null on dim mismatch / null elems
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(v: Any): Any =
     VectorUtil.nearestCell(v.asInstanceOf[ArrayData], centsFlat, k)

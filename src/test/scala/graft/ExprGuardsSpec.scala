@@ -169,4 +169,32 @@ class NonAsciiTokenSpec extends SparkSpec {
       .collect()(0).getSeq[Int](0)
     assert(native === sparkAscii)
   }
+
+  test("nullable-returning expressions survive CODEGEN_ONLY over non-null input") {
+    // Regression: an expression that can return null for a NON-null child
+    // must declare nullable=true, or codegen folds ev.isNull to the constant
+    // "false", the generated class fails to compile, and the whole projection
+    // silently drops to interpreted eval. CODEGEN_ONLY turns that silent
+    // fallback into a hard failure.
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = spark.range(4).select(
+        array(lit(1.0), lit(2.0)).as("v"),
+        array(lit(3), lit(4), lit(5)).as("toks")) // both non-nullable
+      val out = df.select(
+        graft.expr.VectorExprs.quantize(col("v"), 1000.0).as("qv"),
+        graft.expr.VectorExprs.nearestCell(
+          graft.expr.VectorExprs.quantize(col("v"), 1000.0),
+          Array(Array(0.0, 0.0), Array(5000.0, 5000.0))).as("cell"),
+        graft.expr.DsirExprs.bigramBuckets(col("toks"), 64).as("bb"),
+        graft.expr.DsirExprs.bigramLogSum(col("toks"),
+          Array.fill(64)(7L), 64).as("w"))
+        .collect()
+      assert(out.head.getInt(1) == 0 && out.head.getLong(3) == 14L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
