@@ -585,6 +585,24 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- snapshot store: manifest file-skipping read (Iceberg-style) —
+    //      three range-disjoint snapshots committed with per-file footer
+    //      stats, then readAsOfWhere prunes whole files on the driver; the
+    //      oracle is the plain filtered aggregate (results must be identical
+    //      no matter how many files were skipped) ----
+    "q_pruned_read" -> ((s, dir) => {
+      val store = new graft.snapshot.AppendSnapshotStore(s,
+        java.nio.file.Files.createTempDirectory("graft-prune-q").toString)
+      val docs = t(s, dir, "documents")
+      store.commitAppend("docs", docs.filter(col("n_chars") < 300), "source")
+      store.commitAppend("docs",
+        docs.filter(col("n_chars") >= 300 && col("n_chars") < 600), "source")
+      store.commitAppend("docs", docs.filter(col("n_chars") >= 600), "source")
+      store.readAsOfWhere("docs", "n_chars", 350L, 500L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
+    }),
+
     // ---- dedup: WITHIN-document repeated-line removal (C4 rule at line
     //      granularity; zero-shuffle codegen'd projection) ----
     "q_line_dedup" -> ((s, dir) => {
@@ -1531,6 +1549,12 @@ object SparkEntry {
                ORDER BY cosine DESC, item_id) rank FROM scored)
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3""",
+
+      "q_pruned_read" ->
+        // the pruned snapshot read must answer exactly like the plain
+        // filtered aggregate over the same rows
+        """SELECT source, count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
+           FROM documents WHERE n_chars BETWEEN 350 AND 500 GROUP BY 1""",
 
       "q_line_dedup" ->
         // same 4-word paragraph segmentation as q_para_dedup; keep-first

@@ -365,6 +365,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateless DSIR scoring and line dedup run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fit the DSIR ratio table ONCE on static corpora (driver-side arrays),
+    // then score micro-batches with the same codegen'd projection the batch
+    // path uses — the model is a reference object, so streaming costs nothing
+    val toks = graft.expr.TextExprs.asciiTokens(col("text"))
+    val target = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val raw = Seq((1L, "the cat sat on the mat"), (2L, "numbers 11 22 33 44"))
+      .toDF("doc_id", "text")
+    val table = graft.table.TextAnalysis.dsirRatioTable(
+      graft.table.TextAnalysis.hashedBigramCounts(target, toks),
+      graft.table.TextAnalysis.hashedBigramCounts(raw, toks))
+
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      graft.expr.DsirExprs.bigramLogSum(toks, table, 4096).as("w_scaled"),
+      graft.table.TextAnalysis.dedupDocLines(
+        split(col("text"), "\\|"), minLen = 10).as("clean_lines"))
+    val q = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "the cat sat on the mat"),
+        (11L, "numbers 11 22 33 44"),
+        (12L, "a long repeated line|a long repeated line|tail"))
+      q.processAllAvailable()
+      val rows = spark.sql("select * from dsir_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getSeq[String](2)))).toMap
+      assert(rows(10L)._1 > 0L && rows(11L)._1 < 0L) // target-like scores higher
+      assert(rows(12L)._2 === Seq("a long repeated line", "tail"))
+    } finally q.stop()
+  }
+
   test("stateless sequence chunking runs unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
