@@ -585,6 +585,19 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- tokens: sanitization guard (OOV ids clamped to UNK, per-row OOV
+    //      count; zero-shuffle codegen'd projection) ----
+    "q_sanitize" -> ((s, dir) => {
+      val san = TokenSeqs.sanitize(tokenSeqs(s, dir), vocab = 4096, unkId = 0)
+      san.select(col("doc_id"), col("n_oov"),
+        TextAnalysis.fingerprint(col("tokens")).as("fp_clean"))
+    }),
+
+    // ---- tokens: packing-efficiency report (per-stream tail waste at a
+    //      given seqLen; one |streams|-row aggregation, payload never read) ----
+    "q_pack_stats" -> ((s, dir) =>
+      Packing.packingStats(tokenSeqs(s, dir), seqLen = 256)),
+
     // ---- snapshot store: manifest file-skipping read (Iceberg-style) —
     //      three range-disjoint snapshots committed with per-file footer
     //      stats, then readAsOfWhere prunes whole files on the driver; the
@@ -1549,6 +1562,40 @@ object SparkEntry {
                ORDER BY cosine DESC, item_id) rank FROM scored)
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3""",
+
+      "q_sanitize" -> {
+        val P = 2147483647L
+        val pows = (0 until 8).map(i => math.pow(31.0, i).toLong).mkString("[", ",", "]")
+        // clamp OOV (>= 4096 or < 0) to 0, count them, fingerprint the
+        // sanitized array with the same rolling-hash formula as q_fingerprint
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks FROM documents),
+           san AS (SELECT doc_id,
+             len(list_filter(toks, t -> t < 0 OR t >= 4096))::INT AS n_oov,
+             list_transform(toks, t -> CASE WHEN t < 0 OR t >= 4096
+               THEN 0 ELSE t END) AS ct FROM ts)
+           SELECT doc_id, n_oov,
+             (((list_sum(list_transform(range(1, len(ct)+1),
+               i -> ct[i]::BIGINT * ($pows::BIGINT[])[((i-1) % 8) + 1])) % $P) + $P) % $P)::BIGINT AS fp_clean
+           FROM san"""
+      },
+
+      "q_pack_stats" ->
+        // per-stream (source) totals at seqLen=256 with one EOS per doc;
+        // concat-then-cut waste is the stream tail remainder
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, source,
+             len($tokSql)::BIGINT + 1 AS fp FROM documents),
+           g AS (SELECT source AS stream, count(*)::BIGINT AS n_docs,
+             sum(fp)::BIGINT AS total_tokens FROM ts GROUP BY 1),
+           r AS (SELECT stream, n_docs, total_tokens,
+             ceil(total_tokens/256.0)::BIGINT AS n_seqs FROM g),
+           r2 AS (SELECT stream, n_docs, total_tokens, n_seqs,
+             (n_seqs*256 - total_tokens)::BIGINT AS pad_tokens,
+             round((n_seqs*256 - total_tokens)/(n_seqs*256.0), 9) AS pad_frac FROM r)
+           SELECT * FROM r2
+           UNION ALL
+           SELECT '_total', sum(n_docs)::BIGINT, sum(total_tokens)::BIGINT,
+             sum(n_seqs)::BIGINT, sum(pad_tokens)::BIGINT,
+             round(sum(pad_tokens)/(sum(n_seqs)*256.0), 9) FROM r2""",
 
       "q_pruned_read" ->
         // the pruned snapshot read must answer exactly like the plain

@@ -45,6 +45,34 @@ object TextUtil {
     n
   }
 
+  /** Clamp out-of-vocab token ids to `unk`; null element → null result. */
+  def sanitizeTokens(tokens: ArrayData, vocab: Int, unk: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      val t = tokens.getInt(i)
+      out(i) = if (t < 0 || t >= vocab) unk else t
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Count of ids outside [0, vocab); null element → null result. */
+  def oovCount(tokens: ArrayData, vocab: Int): java.lang.Integer = {
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (tokens.isNullAt(i)) return null
+      val t = tokens.getInt(i)
+      if (t < 0 || t >= vocab) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** Keep-first within-array dedup of elements with ≥ minLen code points;
     * shorter (and null) elements always kept; order preserved. */
   def dedupLines(arr: ArrayData, minLen: Int): ArrayData = {
@@ -181,6 +209,48 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): AsciiTokens = copy(child = c)
 }
 
+/** `array<int> → array<int>` token sanitization: every id outside
+  * [0, vocab) becomes `unk` — the guard a pre-tokenized pipeline runs before
+  * training when upstream tokenizers disagree on vocab bounds (a single
+  * out-of-range id crashes an embedding lookup at step N of a 10^5-step
+  * run). One codegen'd pass; null elements poison to null (a null token is a
+  * schema violation, not an OOV). */
+case class SanitizeTokens(child: Expression, vocab: Int, unk: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true // null elements poison to null
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.sanitizeTokens(v.asInstanceOf[ArrayData], vocab, unk)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("sanRes")
+      s"""org.apache.spark.sql.catalyst.util.ArrayData $tmp =
+         |  graft.expr.TextUtil.sanitizeTokens($c, $vocab, $unk);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): SanitizeTokens =
+    copy(child = c)
+}
+
+/** `array<int> → int` count of out-of-vocab ids (see SanitizeTokens). */
+case class OovCount(child: Expression, vocab: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // null elements poison to null
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.oovCount(v.asInstanceOf[ArrayData], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val tmp = ctx.freshName("oovRes")
+      s"""java.lang.Integer $tmp = graft.expr.TextUtil.oovCount($c, $vocab);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression): OovCount = copy(child = c)
+}
+
 /** `array<string> → array<string>` within-document line/paragraph dedup
   * (the C4 rule of Raffel et al. 2020 §2.2 at line granularity): keep the
   * FIRST occurrence of each element of at least `minLen` code points; keep
@@ -294,4 +364,8 @@ object TextExprs {
     GraftSql.toColumn(NfcNormalize(GraftSql.toExpression(text)))
   def dedupLines(paras: Column, minLen: Int): Column =
     GraftSql.toColumn(DedupLines(GraftSql.toExpression(paras.cast("array<string>")), minLen))
+  def sanitizeTokens(tokens: Column, vocab: Int, unk: Int): Column =
+    GraftSql.toColumn(SanitizeTokens(GraftSql.toExpression(tokens.cast("array<int>")), vocab, unk))
+  def oovCount(tokens: Column, vocab: Int): Column =
+    GraftSql.toColumn(OovCount(GraftSql.toExpression(tokens.cast("array<int>")), vocab))
 }

@@ -165,6 +165,45 @@ object Packing {
       .withColumn("n_filled", size(col("packed")).cast("long"))
   }
 
+  /** Packing-efficiency report, one row per stream plus the `_total` row —
+    * the tool that picks `seqLen`/`buckets` BEFORE materializing 100 TB of
+    * packed sequences: with concat-then-cut, waste is only each stream's
+    * tail remainder, so `pad_frac = (n_seqs·seqLen − total) / (n_seqs·seqLen)`
+    * follows directly from per-stream token totals. ONE map-side-combined
+    * aggregation to |streams| rows; tokens are counted from `nTokCol`, the
+    * payload is never read. */
+  def packingStats(df: DataFrame, seqLen: Int,
+                   groupCols: Seq[String] = Seq("source"),
+                   idCol: String = "doc_id",
+                   nTokCol: String = "n_tok",
+                   eosTokens: Int = 1,
+                   buckets: Int = 1): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val sc = streamCols(groupCols, idCol, buckets)
+    val names = streamNames(groupCols, buckets)
+    val L = seqLen.toLong
+    val perStream = df
+      .select((sc :+ (col(nTokCol).cast("long") + eosTokens).as("_fp")): _*)
+      .filter(col("_fp") > 0)
+      .groupBy(names.map(col): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col("_fp")).as("total_tokens"))
+      .withColumn("n_seqs", ceil(col("total_tokens").cast("double") / L).cast("long"))
+      .withColumn("pad_tokens", col("n_seqs") * L - col("total_tokens"))
+      .withColumn("pad_frac",
+        round(col("pad_tokens").cast("double") / (col("n_seqs") * L), 9))
+    val stream = concat_ws("/", names.map(col): _*)
+    val rows = perStream.select(stream.as("stream"), col("n_docs"),
+      col("total_tokens"), col("n_seqs"), col("pad_tokens"), col("pad_frac"))
+    val total = rows.agg(sum("n_docs").as("n_docs"),
+        sum("total_tokens").as("total_tokens"), sum("n_seqs").as("n_seqs"),
+        sum("pad_tokens").as("pad_tokens"))
+      .select(lit("_total").as("stream"), col("n_docs"), col("total_tokens"),
+        col("n_seqs"), col("pad_tokens"),
+        round(col("pad_tokens").cast("double") / (col("n_seqs") * L), 9)
+          .as("pad_frac"))
+    rows.unionByName(total)
+  }
+
   /** Deterministic training shard + intra-shard order: shard by the rolling
     * content fingerprint mod `numShards`, position by `row_number` inside the
     * shard (ordered by fingerprint, then id — fully deterministic and

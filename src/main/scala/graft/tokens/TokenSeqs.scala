@@ -34,6 +34,18 @@ object TokenSeqs {
       .withColumn("n_tok", size(col("tokens")).cast("int"))
       .select("doc_id", "tokens", "n_tok", "source")
 
+  /** Token sanitization — the pre-training guard on a pre-tokenized table:
+    * ids outside [0, vocab) become `unkId`, and `n_oov` records how many were
+    * clamped per row (alert on it; a nonzero rate means tokenizer/vocab
+    * drift upstream). One zero-shuffle codegen'd projection
+    * (graft.expr.SanitizeTokens/OovCount) — 100 TB in, 100 TB out. */
+  def sanitize(df: DataFrame, tokensCol: String = "tokens",
+               vocab: Int = VocabSize, unkId: Int = 0): DataFrame =
+    df.withColumn("n_oov",
+        graft.expr.TextExprs.oovCount(col(tokensCol), vocab))
+      .withColumn(tokensCol,
+        graft.expr.TextExprs.sanitizeTokens(col(tokensCol), vocab, unkId))
+
   /** Seeded synthetic generator (scales to any row count; fully distributed).
     *
     * Row i is derived from a SplitMix64-style avalanche of (seed, i) — pure

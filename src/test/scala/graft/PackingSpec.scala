@@ -149,4 +149,25 @@ class PackingSpec extends SparkSpec {
       assert(g.map(_._3).sorted.toSeq == g.indices.map(_.toLong),
         "positions must be dense 0..k-1 within each shard")
   }
+
+  test("packingStats: tail waste per stream plus an exact _total row") {
+    // web: 2 docs of 5+1 tokens → 12 total → 2 seqs of 8 → 4 pad
+    // code: 1 doc of 7+1 tokens → 8 total → 1 seq → 0 pad
+    val df = docs(("a", 1 to 5, "web"), ("b", 6 to 10, "web"), ("c", 1 to 7, "code"))
+    val out = Packing.packingStats(df, seqLen = 8).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("web") == ((2L, 12L, 2L, 4L, 0.25)))
+    assert(out("code") == ((1L, 8L, 1L, 0L, 0.0)))
+    assert(out("_total") == ((3L, 20L, 3L, 4L, 0.166666667))) // 4/24 at 9dp
+  }
+
+  test("sanitize clamps OOV ids to UNK and counts them") {
+    val df = docs(("a", Seq(1, 5000, -2, 7), "web"), ("b", Seq(3, 4), "web"))
+    val out = graft.tokens.TokenSeqs.sanitize(df, vocab = 4096, unkId = 0)
+      .select("doc_id", "tokens", "n_oov").collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2)))).toMap
+    assert(out("a") == ((Seq(1, 0, 0, 7), 2)))
+    assert(out("b") == ((Seq(3, 4), 0)))
+  }
 }
