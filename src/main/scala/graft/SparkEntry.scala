@@ -432,10 +432,10 @@ object SparkEntry {
     //      any segment seen earlier (corpus-wide (doc_id, pos) order) is
     //      dropped from later documents; segments < 10 chars are exempt ----
     "q_para_dedup" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val nSeg = ((size(words) + 3) / 4).cast("int")
-      val paras = transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(words, i * 4 + 1, lit(4)), " "))
+      // native one-pass 4-word chunking: the HOF form (transform + slice of
+      // split) re-split the text per chunk, interpreted — it dominated this
+      // query's cost
+      val paras = graft.expr.TextExprs.wordChunks(col("text"), 4)
       Dedup.dropRepeatedParagraphs(
         t(s, dir, "documents").select(col("doc_id"), paras.as("paras")),
         "doc_id", "paras", minChars = 10)
@@ -619,10 +619,7 @@ object SparkEntry {
     // ---- dedup: WITHIN-document repeated-line removal (C4 rule at line
     //      granularity; zero-shuffle codegen'd projection) ----
     "q_line_dedup" -> ((s, dir) => {
-      val words = split(col("text"), " ")
-      val nSeg = ((size(words) + 3) / 4).cast("int")
-      val paras = transform(sequence(lit(0), nSeg - 1),
-        i => array_join(slice(words, i * 4 + 1, lit(4)), " "))
+      val paras = graft.expr.TextExprs.wordChunks(col("text"), 4)
       t(s, dir, "documents")
         .select(col("doc_id"), size(paras).as("n_paras"),
           TextAnalysis.dedupDocLines(paras, minLen = 10).as("clean"))

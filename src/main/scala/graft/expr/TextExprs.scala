@@ -45,6 +45,28 @@ object TextUtil {
     n
   }
 
+  /** k-word chunks of ' '-split text, each chunk re-joined with ' '. */
+  def wordChunks(text: UTF8String, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    val n = (words.length + k - 1) / k
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val from = i * k
+      val until = math.min(from + k, words.length)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) {
+        if (j > from) sb.append(' ')
+        sb.append(words(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Clamp out-of-vocab token ids to `unk`; null element → null result. */
   def sanitizeTokens(tokens: ArrayData, vocab: Int, unk: Int): ArrayData = {
     val n = tokens.numElements()
@@ -209,6 +231,25 @@ case class AsciiTokens(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): AsciiTokens = copy(child = c)
 }
 
+/** `string → array<string>` fixed-size word chunking: split on single
+  * spaces, group every `k` consecutive words back into a space-joined chunk
+  * (the 4-word "paragraph" segmentation the para/line dedup queries use).
+  * One codegen'd pass; the HOF form (`transform(sequence, slice(split),
+  * array_join)`) re-splits the text per chunk INTERPRETED — the dominant
+  * cost of q_para_dedup before this expression existed. Semantics match
+  * DuckDB `list_transform(range((len(words)+k-1)//k),
+  * i -> array_to_string(words[i*k+1:i*k+k], ' '))`. */
+case class WordChunks(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "chunk size must be positive")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.wordChunks(v.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.wordChunks($c, $k)")
+  override protected def withNewChildInternal(c: Expression): WordChunks = copy(child = c)
+}
+
 /** `array<int> → array<int>` token sanitization: every id outside
   * [0, vocab) becomes `unk` — the guard a pre-tokenized pipeline runs before
   * training when upstream tokenizers disagree on vocab bounds (a single
@@ -364,6 +405,8 @@ object TextExprs {
     GraftSql.toColumn(NfcNormalize(GraftSql.toExpression(text)))
   def dedupLines(paras: Column, minLen: Int): Column =
     GraftSql.toColumn(DedupLines(GraftSql.toExpression(paras.cast("array<string>")), minLen))
+  def wordChunks(text: Column, k: Int): Column =
+    GraftSql.toColumn(WordChunks(GraftSql.toExpression(text), k))
   def sanitizeTokens(tokens: Column, vocab: Int, unk: Int): Column =
     GraftSql.toColumn(SanitizeTokens(GraftSql.toExpression(tokens.cast("array<int>")), vocab, unk))
   def oovCount(tokens: Column, vocab: Int): Column =

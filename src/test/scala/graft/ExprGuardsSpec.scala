@@ -189,9 +189,12 @@ class NonAsciiTokenSpec extends SparkSpec {
           Array(Array(0.0, 0.0), Array(5000.0, 5000.0))).as("cell"),
         graft.expr.DsirExprs.bigramBuckets(col("toks"), 64).as("bb"),
         graft.expr.DsirExprs.bigramLogSum(col("toks"),
-          Array.fill(64)(7L), 64).as("w"))
+          Array.fill(64)(7L), 64).as("w"),
+        graft.expr.TextExprs.sanitizeTokens(col("toks"), 5, 0).as("san"),
+        graft.expr.TextExprs.oovCount(col("toks"), 5).as("oov"))
         .collect()
       assert(out.head.getInt(1) == 0 && out.head.getLong(3) == 14L)
+      assert(out.head.getSeq[Int](4) == Seq(3, 4, 0) && out.head.getInt(5) == 1)
     } finally prev match {
       case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
       case None => spark.conf.unset("spark.sql.codegen.factoryMode")

@@ -44,6 +44,22 @@ class MixPoolLineSpec extends SparkSpec {
       flat.select("id").as[Long].collect().toSet)
   }
 
+  test("wordChunks matches the HOF formulation exactly, including edge shapes") {
+    val texts = Seq("a b c d e f g h i", "one two three four", "single", "",
+      "x y", "a  b   c") // empty words from repeated spaces preserved
+    val df = texts.toDF("text")
+    val native = df.select(graft.expr.TextExprs.wordChunks(col("text"), 4).as("c"))
+      .as[Seq[String]].collect().toSeq
+    val words = split(col("text"), " ", -1)
+    val nSeg = ((size(words) + 3) / 4).cast("int")
+    val hof = df.select(transform(sequence(lit(0), nSeg - 1),
+        i => array_join(slice(words, i * 4 + 1, lit(4)), " ")).as("c"))
+      .as[Seq[String]].collect().toSeq
+    assert(native == hof)
+    assert(native.head == Seq("a b c d", "e f g h", "i"))
+    assert(native(3) == Seq("")) // split of "" is [""] → one empty chunk
+  }
+
   test("meanPoolQuantized matches a driver-side replay and ignores null vectors") {
     val df = Seq(
       (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 5.0f)),
