@@ -585,6 +585,17 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- row engine: schema-driven REPAIR (clamp/truncate/quarantine per
+    //      the keyword IR; the write-side complement of violations()) ----
+    "q_repair" -> ((s, dir) => {
+      val (rep, _) = graft.row.Repair.repair(tokenSeqs(s, dir),
+        graft.model.SchemaParser.parse(docSchemaJson))
+      rep.select(col("doc_id"),
+        coalesce(col("source"), lit("__quarantined")).as("source_r"),
+        col("n_tok").as("n_tok_r"),
+        TextAnalysis.fingerprint(col("tokens")).as("fp_r"))
+    }),
+
     // ---- tokens: sanitization guard (OOV ids clamped to UNK, per-row OOV
     //      count; zero-shuffle codegen'd projection) ----
     "q_sanitize" -> ((s, dir) => {
@@ -625,6 +636,33 @@ object SparkEntry {
           TextAnalysis.dedupDocLines(paras, minLen = 10).as("clean"))
         .select(col("doc_id"), col("n_paras"), size(col("clean")).as("n_kept"),
           array_join(col("clean"), "|").as("clean_text"))
+    }),
+
+    // ---- sampling: deterministic train/val/test split assignment ----
+    "q_split_assign" -> ((s, dir) =>
+      Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))),
+
+    // ---- sampling: LEAKAGE-SAFE split — every near-dup cluster lands in
+    //      one split (hash of the cluster representative); n_leaky counts
+    //      clusters spanning >1 split and must be 0 by construction ----
+    "q_leak_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e1 = docs.filter(col("doc_id") % 5 =!= 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("a"), (col("doc_id") - 1).as("b"))
+      val e2 = docs.filter(col("doc_id") % 11 === 0 && col("doc_id") >= 7)
+        .select(col("doc_id").as("a"), (col("doc_id") - 7).as("b"))
+      val cc = graft.table.Components.connectedComponents(e1.union(e2), "a", "b")
+      val withKey = docs.join(cc, docs("doc_id") === col("node"), "left")
+        .withColumn("skey", coalesce(col("component"), col("doc_id")))
+      val sp = Sampling.assignSplits(withKey, "skey",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val leaky = sp.groupBy("skey")
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_leaky"))
+      sp.groupBy("split").agg(count(lit(1)).as("cnt")).crossJoin(leaky)
     }),
 
     // ---- sampling: temperature-flattened data mixing (shares ∝ w^(1/τ)) ----
@@ -1560,6 +1598,28 @@ object SparkEntry {
            SELECT query_id, item_id, round(cosine, 6) AS cosine, rank
            FROM ranked WHERE rank <= 3""",
 
+      "q_repair" -> {
+        val P = 2147483647L
+        val pows = (0 until 8).map(i => math.pow(31.0, i).toLong).mkString("[", ",", "]")
+        // replay the repair policy on the derived table: enum quarantine on
+        // source (only src0..src15 are members), n_tok clamped to [1,80],
+        // tokens truncated to 8192 then element-clamped into [0,3900];
+        // fp_r fingerprints the REPAIRED token array
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks, source FROM documents),
+           r AS (SELECT doc_id,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4','src5','src6',
+               'src7','src8','src9','src10','src11','src12','src13','src14','src15')
+               THEN source ELSE NULL END AS src_r,
+             least(greatest(len(toks)::INT, 1), 80) AS n_tok_r,
+             list_transform(toks[1:8192], t -> least(greatest(t, 0), 3900)) AS ct
+             FROM ts)
+           SELECT doc_id, coalesce(src_r, '__quarantined') AS source_r,
+             n_tok_r,
+             (((list_sum(list_transform(range(1, len(ct)+1),
+               i -> ct[i]::BIGINT * ($pows::BIGINT[])[((i-1) % 8) + 1])) % $P) + $P) % $P)::BIGINT AS fp_r
+           FROM r"""
+      },
+
       "q_sanitize" -> {
         val P = 2147483647L
         val pows = (0 until 8).map(i => math.pow(31.0, i).toLong).mkString("[", ",", "]")
@@ -1611,6 +1671,45 @@ object SparkEntry {
                  FROM d2)
            SELECT doc_id, len(paras)::INT AS n_paras, len(clean)::INT AS n_kept,
              array_to_string(clean, '|') AS clean_text FROM c""",
+
+      "q_split_assign" ->
+        // md5 hash bucket in [0,1e6): <800000 train, <900000 val, else test
+        """WITH h AS (SELECT n_chars,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000 AS hb
+           FROM documents)
+           SELECT CASE WHEN hb < 800000 THEN 'train'
+                       WHEN hb < 900000 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS cnt, sum(n_chars)::BIGINT AS sum_chars
+           FROM h GROUP BY 1""",
+
+      "q_leak_split" ->
+        // same synthetic near-dup edges as q_dup_clusters; split key = the
+        // cluster representative, so clusters can never straddle splits
+        """WITH RECURSIVE
+           edges AS (
+             SELECT doc_id AS a, doc_id - 1 AS b FROM documents
+             WHERE doc_id % 5 <> 0 AND doc_id > 0
+             UNION ALL
+             SELECT doc_id AS a, doc_id - 7 AS b FROM documents
+             WHERE doc_id % 11 = 0 AND doc_id >= 7),
+           sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+           reach(node, label) AS (
+             SELECT a, a FROM sym
+             UNION
+             SELECT s.a, r.label FROM reach r JOIN sym s ON s.b = r.node),
+           cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+           k AS (SELECT d.doc_id, COALESCE(cc.component, d.doc_id) AS skey
+                 FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+           sp AS (SELECT doc_id, skey,
+               CASE WHEN ('0x' || substr(md5(skey::VARCHAR), 1, 8))::BIGINT % 1000000 < 800000
+                      THEN 'train'
+                    WHEN ('0x' || substr(md5(skey::VARCHAR), 1, 8))::BIGINT % 1000000 < 900000
+                      THEN 'val' ELSE 'test' END AS split
+             FROM k),
+           leaky AS (SELECT sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END)::BIGINT AS n_leaky
+             FROM (SELECT skey, count(DISTINCT split) AS ns FROM sp GROUP BY 1))
+           SELECT split, count(*) AS cnt, leaky.n_leaky
+           FROM sp CROSS JOIN leaky GROUP BY split, leaky.n_leaky""",
 
       "q_mix_temp" ->
         // temperature τ=2: share_s ∝ sum(n_chars)^(1/2) rounded to 9dp, then

@@ -69,6 +69,44 @@ object Sampling {
     stratifiedSample(df, strataCol, keyCol, fractions, default = 0.0)
   }
 
+  /** Deterministic train/val/test split assignment: the md5 key hash lands
+    * in [0, 10^6) and each named split owns a contiguous range sized by its
+    * share (boundaries at ⌊cumulative·10^6⌋ — engine-portable integer
+    * arithmetic; shares should sum to 1, the last split absorbs rounding).
+    * Reproducible across engines, repartitioning, and reruns; a zero-shuffle
+    * codegen'd projection — the split column costs nothing at 100 TB. */
+  def assignSplits(df: DataFrame, keyCol: String,
+                   shares: Seq[(String, Double)]): DataFrame = {
+    require(shares.nonEmpty && shares.forall(_._2 > 0), "positive shares required")
+    require(math.abs(shares.map(_._2).sum - 1.0) < 1e-9, "shares must sum to 1")
+    val bounds = shares.scanLeft(0.0)(_ + _._2).tail.map(c => (c * 1e6).toLong)
+    val h = hashBucket(col(keyCol))
+    val split = shares.zip(bounds).reverse.foldLeft(lit(shares.last._1)) {
+      case (acc, ((name, _), upper)) => when(h < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", split)
+  }
+
+  /** LEAKAGE-SAFE split: every member of a near-duplicate cluster lands in
+    * the SAME split, so eval can never score a near-copy of a training row
+    * (the train/test contamination a per-row hash split cannot prevent).
+    * `clusters` is a `(node, component)` edge-closure table
+    * ([[graft.table.Components.connectedComponents]] over near-dup pairs);
+    * unclustered rows hash on their own id. The hash key is the cluster
+    * REPRESENTATIVE, so the whole cluster moves together by construction.
+    *
+    * Scale shape: one join of the corpus against the dup-rate-sized cluster
+    * table (AQE broadcasts it while it fits), then the zero-shuffle split
+    * projection. */
+  def assignSplitsByCluster(df: DataFrame, idCol: String, clusters: DataFrame,
+                            shares: Seq[(String, Double)]): DataFrame = {
+    val joined = df.join(clusters.select(col("node"), col("component")),
+        df(idCol) === col("node"), "left")
+      .withColumn("_skey", coalesce(col("component"), df(idCol)))
+      .drop("node", "component")
+    assignSplits(joined, "_skey", shares).drop("_skey")
+  }
+
   /** Temperature-flattened data mixing (the multilingual/UniMax recipe —
     * Arivazhagan et al. 2019 §4.2 use p ∝ c^(1/τ)): derive target shares
     * from the OBSERVED per-stratum weights, share_s ∝ w_s^(1/τ), then feed

@@ -31,6 +31,36 @@ class SamplingSpec extends SparkSpec {
     assert(none.keySet == Set("lang3") && none("lang3") == 250L)
   }
 
+  test("assignSplits: shares respected, deterministic, exhaustive partition") {
+    val sp = Sampling.assignSplits(docs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = sp.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 1000)
+    assert(counts("train") > 700 && counts("train") < 900)
+    val again = Sampling.assignSplits(docs.repartition(5), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val first = sp.select("id", "split").as[(Long, String)].collect().toMap
+    assert(first == again)
+  }
+
+  test("assignSplitsByCluster: a cluster never straddles splits") {
+    // clusters of 10 consecutive ids via edges (i, i-1) within each decade
+    val edges = (0 until 1000).filter(i => i % 10 != 0)
+      .map(i => (i.toLong, (i - 1).toLong)).toDF("a", "b")
+    val cc = graft.table.Components.connectedComponents(edges, "a", "b")
+    val sp = Sampling.assignSplitsByCluster(docs, "id", cc,
+      Seq("train" -> 0.5, "val" -> 0.5))
+    val leaky = sp.withColumn("cluster", col("id") - col("id") % 10)
+      .groupBy("cluster").agg(countDistinct("split").as("ns"))
+      .filter(col("ns") > 1).count()
+    assert(leaky == 0)
+    // both splits are populated (100 clusters hashed half-and-half-ish)
+    val counts = sp.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.size == 2 && counts.values.forall(_ > 100))
+  }
+
   test("exactKPerStratum yields exactly k rows per stratum, deterministically") {
     val s1 = Sampling.exactKPerStratum(docs, "lang", "id", 7)
       .select("id").as[Long].collect().toSet
