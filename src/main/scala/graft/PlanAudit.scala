@@ -26,7 +26,8 @@ object PlanAudit {
       "q_group_anomaly", "q_infer_profile",
       "q_dup_composite", "q_fd_violations", "q_order_integrity", "q_corr_drift",
       "q_kmeans_refine", "q_dsir_weights", "q_line_dedup", "q_mix_temp",
-      "q_mean_pool")
+      "q_mean_pool", "q_repair", "q_split_assign", "q_leak_split",
+      "q_sanitize", "q_pack_stats", "q_pruned_read")
     interesting.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       // execute first: under AQE the pre-execution plan is the INITIAL one,

@@ -88,13 +88,32 @@ object TrainScale {
       vecs.withColumn("label", pmod(col("vec_id"), lit(k)).cast("int")),
       "label", "embedding").count())
 
+    // deterministic split assignment over 10^6 docs (zero-shuffle projection)
+    val (tSplit, splitCounts) = timed(Sampling.assignSplits(docs, "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .groupBy("split").count().count())
+
+    // schema-driven repair of 10^6 rows incl. the one-pass audit report
+    val repairSchema = graft.model.SchemaParser.parse(
+      """{"type":"object","properties":{
+           "doc_id":{"type":"integer"},
+           "text":{"type":"string","maxLength":20},
+           "source":{"enum":["0","1","2","3","4","5","6","7","8","9"]}}}""")
+    val (tRepair, nRepairCols) = timed {
+      val (rep, report) = graft.row.Repair.repair(docs, repairSchema)
+      rep.count()
+      report.count()
+    }
+
     println(s"""{"probe":"train_scale","rows":$n,"cpus":$cpus,""" +
       s""""kmeans_sec":$tKm,"kmeans_rerun_sec":$tKm2,"kmeans_deterministic":$deterministic,""" +
       s""""ivf_assign_sec":$tAsg,"ivf_cells":$nCells,""" +
       s""""dsir_sec":$tDsir,"dsir_scored":$nScored,""" +
       s""""mix_sec":$tMix,"mix_kept":$nMix,""" +
       s""""line_dedup_sec":$tLine,"line_kept":$nLineKept,""" +
-      s""""mean_pool_sec":$tPool,"pool_rows":$nPool}""")
+      s""""mean_pool_sec":$tPool,"pool_rows":$nPool,""" +
+      s""""split_sec":$tSplit,"split_groups":$splitCounts,""" +
+      s""""repair_sec":$tRepair,"repair_cols":$nRepairCols}""")
     spark.stop()
   }
 }

@@ -400,6 +400,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("schema-driven repair runs unchanged on a stream (repaired side)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val doc = graft.model.SchemaParser.parse(
+      """{"type":"object","properties":{
+           "id":{"type":"integer"},
+           "n":{"type":"integer","minimum":0,"maximum":10},
+           "tag":{"enum":["a","b"],"default":"a"}}}""")
+    val input = MemoryStream[(Long, Long, String)]
+    val df = input.toDF().toDF("id", "n", "tag")
+    // the repaired side is a stateless projection — it streams as-is; the
+    // audit report is a batch aggregation and stays a batch-side concern
+    val (rep, _) = graft.row.Repair.repair(df, doc)
+    val q = rep.writeStream.format("memory").queryName("repair_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 42L, "zzz"), (2L, 5L, "b"))
+      q.processAllAvailable()
+      val rows = spark.sql("select id, n, tag from repair_stream").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(rows(1L) == ((10L, "a"))) // clamped + enum default
+      assert(rows(2L) == ((5L, "b")))  // untouched
+    } finally q.stop()
+  }
+
   test("stateless sequence chunking runs unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
