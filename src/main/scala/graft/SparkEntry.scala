@@ -585,6 +585,13 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- row engine: deterministic violation TRIAGE sample (k distinct
+    //      offending docs per keyword, md5-ranked — the bounded artifact a
+    //      dashboard attaches instead of 10^12 violation rows) ----
+    "q_violation_sample" -> ((s, dir) =>
+      graft.row.RowValidator.sampleViolations(tokenSeqs(s, dir),
+        graft.model.SchemaParser.parse(docSchemaJson), "doc_id", k = 5)),
+
     // ---- row engine: schema-driven REPAIR (clamp/truncate/quarantine per
     //      the keyword IR; the write-side complement of violations()) ----
     "q_repair" -> ((s, dir) => {
@@ -1240,6 +1247,21 @@ object SparkEntry {
              WHERE n_tok > 80 OR len(list_filter(toks, t -> t > 3900)) > 0
            UNION
            SELECT doc_id, 'enum' FROM ts WHERE source NOT IN ($allowedSrc)""",
+
+      "q_violation_sample" ->
+        // the q_row_violations pair set, md5-ranked per keyword, first 5
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents),
+           v AS (
+             SELECT doc_id, 'maximum' AS keyword FROM ts
+               WHERE n_tok > 80 OR len(list_filter(toks, t -> t > 3900)) > 0
+             UNION
+             SELECT doc_id, 'enum' FROM ts WHERE source NOT IN ($allowedSrc))
+           SELECT doc_id, keyword FROM (
+             SELECT doc_id, keyword, row_number() OVER (PARTITION BY keyword
+               ORDER BY ('0x' || substr(md5(doc_id), 1, 8))::BIGINT % 1000000,
+                 doc_id) rn FROM v)
+           WHERE rn <= 5""",
 
       "q_violation_counts" ->
         s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,

@@ -101,6 +101,18 @@ object RowValidator {
         col("v.message").as("message"), col("partition_id")): _*)
   }
 
+  /** Violation TRIAGE sample: up to `k` distinct offending rows per keyword,
+    * chosen deterministically (md5-rank — stable across engines, reruns, and
+    * repartitioning, so two people debugging the same snapshot look at the
+    * same rows). At 10^12 rows the full violation set is itself huge; this
+    * is the bounded artifact a dashboard or ticket attaches. One shuffle on
+    * the keyword key over the violation-rate-sized distinct pairs. */
+  def sampleViolations(df: DataFrame, doc: SchemaDoc, idCol: String,
+                       k: Int = 10): DataFrame =
+    graft.table.Sampling.exactKPerStratum(
+      violations(df, doc, idCol).select(idCol, "keyword").distinct(),
+      "keyword", idCol, k)
+
   /** Convenience: is a single-column DataFrame of instances fully valid?
     * Used by the conformance-suite runner (value column = the instance). */
   def validColumn(df: DataFrame, schemaJson: String, valueCol: String = "value",

@@ -293,4 +293,22 @@ class RowValidatorSpec extends SparkSpec {
     assert(ids.contains(("three", "maxContains")))
     assert(!ids.exists(_._1 == "one"))
   }
+
+  test("sampleViolations: at most k distinct docs per keyword, deterministic") {
+    import spark.implicits._
+    val schema = """{"type": "object", "properties": {
+      "id": {"type": "string"}, "n": {"type": "integer", "maximum": 10}}}"""
+    val df = (0 until 100).map(i => (s"d$i", i.toLong)).toDF("id", "n")
+    val doc = SchemaParser.parse(schema)
+    val a = RowValidator.sampleViolations(df, doc, "id", k = 7)
+      .as[(String, String)].collect().toSet
+    assert(a.size == 7 && a.forall(_._2 == "maximum"))
+    val b = RowValidator.sampleViolations(df.repartition(9), doc, "id", k = 7)
+      .as[(String, String)].collect().toSet
+    assert(a == b)
+    // fewer violations than k: all of them appear
+    val tiny = RowValidator.sampleViolations(
+      df.filter(col("n") < 13), doc, "id", k = 7).count()
+    assert(tiny == 2) // n = 11, 12
+  }
 }
