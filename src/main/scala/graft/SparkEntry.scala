@@ -585,6 +585,13 @@ object SparkEntry {
           col("rank"))
     }),
 
+    // ---- drift: PSI time series — which DAY the event-type mix shifted
+    //      (consecutive-bucket drift localization) ----
+    "q_drift_series" -> ((s, dir) =>
+      TableChecks.driftSeries(t(s, dir, "events"), "ts", "event_type", "day")
+        .select(date_format(col("bkt"), "yyyy-MM-dd").as("day"),
+          col("psi"), col("n_categories"))),
+
     // ---- row engine: deterministic violation TRIAGE sample (k distinct
     //      offending docs per keyword, md5-ranked — the bounded artifact a
     //      dashboard attaches instead of 10^12 violation rows) ----
@@ -1247,6 +1254,23 @@ object SparkEntry {
              WHERE n_tok > 80 OR len(list_filter(toks, t -> t > 3900)) > 0
            UNION
            SELECT doc_id, 'enum' FROM ts WHERE source NOT IN ($allowedSrc)""",
+
+      "q_drift_series" ->
+        // consecutive-day PSI of the event_type mix over the completed
+        // (day × type) grid, eps-smoothed shares, rounded to 6dp
+        """WITH c AS (SELECT date_trunc('day', ts) bkt, event_type k, count(*) c
+             FROM events GROUP BY 1, 2),
+           b AS (SELECT DISTINCT bkt FROM c),
+           ks AS (SELECT DISTINCT k FROM c),
+           g AS (SELECT b.bkt, ks.k, coalesce(c.c, 0) AS c
+             FROM b CROSS JOIN ks LEFT JOIN c ON c.bkt = b.bkt AND c.k = ks.k),
+           p AS (SELECT bkt, k,
+             greatest(c::DOUBLE / sum(c) OVER (PARTITION BY bkt), 1e-6) AS p FROM g),
+           s AS (SELECT bkt, k, p, lag(p) OVER (PARTITION BY k ORDER BY bkt) AS q FROM p)
+           SELECT strftime(bkt, '%Y-%m-%d') AS day,
+             round(sum((p - q)*ln(p/q)), 6) AS psi,
+             count(*) AS n_categories
+           FROM s WHERE q IS NOT NULL GROUP BY bkt""",
 
       "q_violation_sample" ->
         // the q_row_violations pair set, md5-ranked per keyword, first 5

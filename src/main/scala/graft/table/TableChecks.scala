@@ -592,6 +592,41 @@ object TableChecks {
         count(lit(1)).as("n_categories"))
   }
 
+  /** Drift LOCALIZATION in time: PSI of a categorical column between every
+    * time bucket and its predecessor — "which day did the mix shift", the
+    * question a single current-vs-baseline PSI cannot answer. One
+    * map-side-combined aggregation reduces the corpus to the
+    * |buckets × categories| count grid; the grid is completed (missing
+    * combinations count 0), per-bucket shares are eps-smoothed, and the
+    * consecutive comparison is a lag window over the bucket-ordered grid —
+    * everything after the first aggregation is domain-sized, raw rows never
+    * shuffle. Output: one row per bucket past the first
+    * `(bucket, psi, n_categories)`, bucket formatted `yyyy-MM-dd...` by
+    * `bucket` granularity (date_trunc). */
+  def driftSeries(df: DataFrame, tsCol: String, catCol: String,
+                  bucket: String = "day", eps: Double = 1e-6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(date_trunc(bucket, col(tsCol)).as("bkt"), col(catCol).as("k"))
+      .groupBy("bkt", "k").agg(count(lit(1)).as("c"))
+    // complete the grid: every bucket × every category (domain-sized join)
+    val buckets = counts.select("bkt").distinct()
+    val cats = counts.select("k").distinct()
+    val grid = buckets.crossJoin(cats)
+      .join(counts, Seq("bkt", "k"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val tot = Window.partitionBy("bkt")
+    val byCatTime = Window.partitionBy("k").orderBy("bkt")
+    val p = greatest(col("c").cast("double") / sum("c").over(tot), lit(eps))
+    val scored = grid
+      .withColumn("p", p)
+      .withColumn("q", lag(col("p"), 1).over(byCatTime))
+      .filter(col("q").isNotNull)
+    scored.groupBy("bkt")
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"),
+        count(lit(1)).as("n_categories"))
+  }
+
   /** Robust per-group anomaly flags: modified z-score of a group-level metric
     * across groups, using median/MAD (Iglewicz–Hoaglin: mz = 0.6745·(v −
     * median)/MAD, |mz| > 3.5 = anomaly) — median/MAD stay meaningful when the

@@ -170,4 +170,22 @@ class StatsSpec extends SparkSpec {
     assert(r("b").getAs[Double]("psi") > 0.5)
     assert(r("b").getAs[Double]("jsd") > 0.1)
   }
+
+  test("driftSeries localizes a planted mix shift to its exact day") {
+    // days 1-3: uniform a/b mix; day 4: all-b (the shift); day 5: all-b again
+    val rows = (1 to 5).flatMap { d =>
+      (0 until 100).map { i =>
+        val cat = if (d < 4) (if (i % 2 == 0) "a" else "b") else "b"
+        (java.sql.Timestamp.valueOf(f"2026-01-0$d%d 12:00:00"), cat)
+      }
+    }
+    val df = rows.toDF("ts", "event_type")
+    val series = TableChecks.driftSeries(df, "ts", "event_type", "day")
+      .select(date_format(col("bkt"), "yyyy-MM-dd").as("day"), col("psi"))
+      .as[(String, Double)].collect().toMap
+    assert(series.size == 4) // days 2-5 (each vs predecessor)
+    assert(series("2026-01-02") == 0.0 && series("2026-01-03") == 0.0)
+    assert(series("2026-01-04") > 1.0, s"shift day psi ${series("2026-01-04")}")
+    assert(series("2026-01-05") == 0.0) // new mix is stable again
+  }
 }
