@@ -344,7 +344,13 @@ object TextAnalysis {
     * then selection is a zero-shuffle codegen'd filter. All rows TIED at the
     * boundary weight are kept, so the result has ≥ ⌈fraction·n⌉ rows (exact
     * when the boundary has no ties) and is fully deterministic — no
-    * per-row ranking state anywhere. */
+    * per-row ranking state anywhere.
+    *
+    * Scale caveat: the histogram collect is O(distinct weights). Scores are
+    * 10^6-scaled sums, so heterogeneous corpora can approach one distinct
+    * weight per row; at 10^12 rows pick the threshold with
+    * `weights.stat.approxQuantile("w_scaled", ...)` instead and filter on
+    * it directly — approximate boundary, same zero-shuffle selection. */
   def dsirSelectTopFraction(weights: DataFrame, fraction: Double): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction $fraction out of (0,1]")
     val hist = weights.groupBy("w_scaled").count()
