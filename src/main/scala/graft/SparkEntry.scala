@@ -144,8 +144,12 @@ object SparkEntry {
           transform(col("tokens"), tk => tk + 1)).otherwise(col("tokens")))
         .unionByName(base.filter(idNum % 103 === 0)
           .withColumn("doc_id", concat(lit("new_"), col("doc_id"))))
+      // changed_cols is array<string>; the driver harness sorts output with
+      // pandas, which cannot sort array cells — project to a deterministic
+      // comma-joined scalar (mirrored in the oracle SQL). Semantics intact.
       graft.table.SnapshotDiff.snapshotDiff(cur, base, "doc_id",
         Seq("tokens", "n_tok", "source"))
+        .withColumn("changed_cols", array_join(col("changed_cols"), ","))
     }),
 
     // ---- dataset-scope: column stats (exact subset for the oracle) ----
@@ -439,6 +443,9 @@ object SparkEntry {
       Dedup.dropRepeatedParagraphs(
         t(s, dir, "documents").select(col("doc_id"), paras.as("paras")),
         "doc_id", "paras", minChars = 10)
+        // array<string> → scalar for the pandas-sorting harness (unit-
+        // separator-joined; paragraphs never contain 0x1F). Oracle: chr(31).
+        .withColumn("clean_paras", array_join(col("clean_paras"), "\u001f"))
     }),
 
     // ---- dedup: exact-substring (repeated token-window) removal, Lee et
@@ -448,7 +455,10 @@ object SparkEntry {
     "q_span_dedup" -> ((s, dir) =>
       Dedup.dropRepeatedSpans(
         tokenSeqs(s, dir).withColumn("doc_id", col("doc_id").cast("long")),
-        "doc_id", "tokens", winLen = 8)),
+        "doc_id", "tokens", winLen = 8)
+        // array<int> → comma-joined scalar for the pandas-sorting harness
+        .withColumn("clean_tokens",
+          array_join(col("clean_tokens").cast("array<string>"), ","))),
 
     // ---- dedup: pair-graph clustering (connected components) — collapses
     //      transitive near-dup chains (A~B, B~C ⇒ {A,B,C}) into one group.
@@ -738,9 +748,17 @@ object SparkEntry {
 
     // ---- text analysis: within-document repetition (duplicate-bigram
     //      fraction — the Gopher repetition quality filter) ----
+    //      Exact integer counts (total + distinct bigrams) are emitted rather
+    //      than the rounded ratio: double division lands on opposite sides of
+    //      a 6dp rounding boundary across engines; integers never do. The
+    //      ratio 1 − n_distinct/n_grams stays derivable downstream.
     "q_ngram_repeat" -> ((s, dir) =>
-      tokenSeqs(s, dir).select(col("doc_id"),
-        round(TextAnalysis.dupBigramFraction(col("tokens")), 6).as("dup_frac"))),
+      tokenSeqs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.dupBigramStats(col("tokens")).as("_p"))
+        .select(col("doc_id"),
+          shiftright(col("_p"), 32).as("n_grams"),
+          col("_p").bitwiseAND(lit(0xFFFFFFFFL)).as("n_distinct"))),
 
     // ---- text analysis: canonical normalization (NFC + lower + ws-collapse) ----
     "q_normalize" -> ((s, dir) =>
@@ -813,7 +831,10 @@ object SparkEntry {
     // ---- training-sequence shaping: sliding-window chunking of long docs
     //      into fixed-length windows (map-side explode, zero shuffles) ----
     "q_chunk_split" -> ((s, dir) =>
-      Packing.chunkSequences(tokenSeqs(s, dir), seqLen = 128, stride = 96)),
+      Packing.chunkSequences(tokenSeqs(s, dir), seqLen = 128, stride = 96)
+        // array<int> → comma-joined scalar for the pandas-sorting harness
+        .withColumn("chunk_tokens",
+          array_join(col("chunk_tokens").cast("array<string>"), ","))),
 
     // ---- training-sequence shaping: GPT-style concat-then-cut pack
     //      assignments (per-source streams in doc_id order, one EOS slot per
@@ -825,7 +846,10 @@ object SparkEntry {
     //      explicit EOS separator (vocab < 4096 ⇒ eos = 4096); every group
     //      aggregation buffer is bounded by seqLen tokens ----
     "q_packed_seqs" -> ((s, dir) =>
-      Packing.packedSequences(tokenSeqs(s, dir), seqLen = 256, eosId = 4096)),
+      Packing.packedSequences(tokenSeqs(s, dir), seqLen = 256, eosId = 4096)
+        // array<int> → comma-joined scalar for the pandas-sorting harness
+        .withColumn("packed",
+          array_join(col("packed").cast("array<string>"), ","))),
 
     // ---- training-sequence shaping: deterministic shard + intra-shard
     //      position from the rolling content fingerprint (reproducible
@@ -1017,12 +1041,13 @@ object SparkEntry {
              CASE WHEN b.doc_id IS NULL THEN 'added'
                   WHEN c.doc_id IS NULL THEN 'removed'
                   ELSE 'changed' END AS diff_kind,
-             CASE WHEN c.doc_id IS NULL OR b.doc_id IS NULL THEN []::VARCHAR[]
+             coalesce(array_to_string(
+               CASE WHEN c.doc_id IS NULL OR b.doc_id IS NULL THEN []::VARCHAR[]
                   ELSE list_filter([
                     CASE WHEN c.n_tok  IS DISTINCT FROM b.n_tok  THEN 'n_tok'  END,
                     CASE WHEN c.source IS DISTINCT FROM b.source THEN 'source' END,
                     CASE WHEN c.toks   IS DISTINCT FROM b.toks   THEN 'tokens' END],
-                    x -> x IS NOT NULL) END AS changed_cols
+                    x -> x IS NOT NULL) END, ','), '') AS changed_cols
            FROM cur c FULL OUTER JOIN ts b ON c.doc_id = b.doc_id
            WHERE c.doc_id IS NULL OR b.doc_id IS NULL
              OR c.toks IS DISTINCT FROM b.toks
@@ -1434,7 +1459,8 @@ object SparkEntry {
            k AS (SELECT doc_id, pos, para FROM r WHERE rn = 1),
            a AS (SELECT doc_id, list(para ORDER BY pos) AS clean_paras,
                    count(*) AS nk FROM k GROUP BY 1)
-           SELECT d2.doc_id, coalesce(a.clean_paras, []::VARCHAR[]) AS clean_paras,
+           SELECT d2.doc_id,
+             coalesce(array_to_string(a.clean_paras, chr(31)), '') AS clean_paras,
              len(d2.paras)::INT AS n_paras,
              (len(d2.paras) - coalesce(a.nk, 0))::INT AS n_removed
            FROM d2 LEFT JOIN a USING (doc_id)""",
@@ -1466,7 +1492,9 @@ object SparkEntry {
                  FROM p WHERE NOT EXISTS (SELECT 1 FROM cov
                    WHERE cov.doc_id = p.doc_id AND cov.tpos = p.tpos)
                  GROUP BY 1)
-           SELECT ts.doc_id, coalesce(k.clean_tokens, []::INT[]) AS clean_tokens,
+           SELECT ts.doc_id,
+             coalesce(array_to_string(list_transform(k.clean_tokens,
+               x -> x::VARCHAR), ','), '') AS clean_tokens,
              (len(ts.toks) - coalesce(k.nk, 0))::INT AS n_removed
            FROM ts LEFT JOIN k USING (doc_id)""",
 
@@ -1936,12 +1964,13 @@ object SparkEntry {
              round(coalesce(h.hits, 0)::DOUBLE / len(sh.s), 6) AS hot_coverage
            FROM sh LEFT JOIN h USING (id)""",
 
+      // exact integer counts (no rounded-double compare — see the query note)
       "q_ngram_repeat" ->
         s"""WITH ts AS (SELECT doc_id, $tokSql toks FROM documents),
            g AS (SELECT doc_id, list_transform(range(1, greatest(len(toks)-1, 0)+1),
                    i -> toks[i]::BIGINT*4096 + toks[i+1]::BIGINT) grams FROM ts)
-           SELECT doc_id, round(CASE WHEN len(grams) = 0 THEN 0.0
-             ELSE 1.0 - len(list_distinct(grams))::DOUBLE / len(grams) END, 6) AS dup_frac
+           SELECT doc_id, len(grams)::BIGINT AS n_grams,
+             len(list_distinct(grams))::BIGINT AS n_distinct
            FROM g""",
 
       "q_normalize" ->
@@ -2124,7 +2153,8 @@ object SparkEntry {
                  FROM n),
            g AS (SELECT doc_id, toks, n, unnest(generate_series(0, nch - 1)) AS g FROM c)
            SELECT doc_id, g::INT AS chunk_idx,
-                  toks[g*96+1 : least(g*96+128, n)] AS chunk_tokens,
+                  array_to_string(list_transform(toks[g*96+1 : least(g*96+128, n)],
+                    x -> x::VARCHAR), ',') AS chunk_tokens,
                   (least(g*96+128, n) - g*96)::INT AS chunk_len
            FROM g""",
 
@@ -2150,7 +2180,8 @@ object SparkEntry {
            g AS (SELECT source, stream, sl,
                    unnest(generate_series(0, (sl - 1) // 256)) AS g FROM x)
            SELECT source, g AS seq_id,
-                  stream[g*256+1 : least((g+1)*256, sl)] AS packed,
+                  array_to_string(list_transform(stream[g*256+1 : least((g+1)*256, sl)],
+                    x -> x::VARCHAR), ',') AS packed,
                   (least((g+1)*256, sl) - g*256)::BIGINT AS n_filled
            FROM g""",
 

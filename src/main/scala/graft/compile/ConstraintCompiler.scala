@@ -67,10 +67,31 @@ object ConstraintCompiler {
     *        the scope but clears `refStack`: recursion through `\$ref` is
     *        legal (and terminates) whenever the finite DataType descends. */
   private case class Ctx(doc: SchemaDoc, opts: CompileOpts, refStack: Set[String],
-                         dynScope: Vector[(SchemaDoc, String)]) {
+                         dynScope: Vector[(SchemaDoc, String)],
+                         unroll: Map[String, Int] = Map.empty) {
     def conformance: Boolean = !opts.nullIsAbsent
-    def descend: Ctx = if (refStack.isEmpty) this else copy(refStack = Set.empty)
+    def descend: Ctx =
+      if (refStack.isEmpty && unroll.isEmpty) this
+      else copy(refStack = Set.empty, unroll = Map.empty)
   }
+
+  /** How many times a `\$ref`/`\$dynamicRef` cycle with NO intervening data
+    * descent is unrolled before the occurrence is replaced by the
+    * least-fixpoint bottom (invalid + a depth-guard violation row). Two
+    * Kleene iterations settle single-variable cycles and mutually recursive
+    * pairs. Documented deviation: the reference evaluates EVERY applicator
+    * branch (no short-circuit — `internal/validator/validator.go:88-120`
+    * "Continue to check all subschemas"), so any same-instance cycle
+    * recurses to the depth guard (`pkg/types/schema/schema.go:1088`, 1000)
+    * and the whole validation ERRORS. Graft instead closes the cycle with
+    * the least fixpoint and returns a verdict: valid exactly when some
+    * finite unfolding validates the instance — strictly more schemas get
+    * row verdicts, and rows the reference would error on surface the
+    * depth-guard violation below instead of aborting the job (at 10^12 rows
+    * a per-row abort is not an option). Recursion THROUGH data never hits
+    * this path: `descend` resets the budget because the finite DataType
+    * terminates it (the strict-tree / meta-schema shapes). */
+  private val MaxNoDescentUnroll = 2
 
   private def pushScope(scope: Vector[(SchemaDoc, String)], owner: SchemaDoc,
                         base: String): Vector[(SchemaDoc, String)] =
@@ -920,17 +941,27 @@ object ConstraintCompiler {
           mkViolation("not", loc("not"), instLoc, lit("instance matches \"not\" schema")))))
 
       case RefK(ref) =>
-        // lazy compile-time inlining; cycles with no intervening data descent
-        // are rejected (the reference depth-guards at 1000, schema.go:1087).
-        if (ctx.refStack.contains(ref))
-          throw new IllegalArgumentException(
-            s"unsupported: \\$$ref cycle without data descent at $ref")
-        val (rawT, baseT, ownerT) = ctx.doc.resolveRefFull(ref)
-        // parse the target under its OWNING document's dialect
-        val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
-        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref,
-            dynScope = pushScope(ctx.dynScope, ownerT, baseT)),
-          target, dt, loc("$ref"), instLoc))
+        // lazy compile-time inlining. A cycle with no intervening data
+        // descent is unrolled MaxNoDescentUnroll times, then closed with the
+        // least-fixpoint bottom (see its doc): recursion THROUGH data is
+        // unbounded-depth-safe because the finite DataType terminates it
+        // (descend clears the stack), and same-node recursion gets the
+        // Kleene-iteration answer the reference reaches by short-circuiting
+        // at validation time (validate.go's applicator evaluation).
+        val cycling = ctx.refStack.contains(ref)
+        val spent = ctx.unroll.getOrElse(ref, 0)
+        if (cycling && spent >= MaxNoDescentUnroll)
+          Some(simple(lit(false), "$ref", loc("$ref"), instLoc,
+            lit("recursive $ref exceeded the no-progress depth guard")))
+        else {
+          val ctx0 = if (cycling) ctx.copy(unroll = ctx.unroll + (ref -> (spent + 1))) else ctx
+          val (rawT, baseT, ownerT) = ctx.doc.resolveRefFull(ref)
+          // parse the target under its OWNING document's dialect
+          val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
+          Some(compileNode(sub, ctx0.copy(refStack = ctx0.refStack + ref,
+              dynScope = pushScope(ctx0.dynScope, ownerT, baseT)),
+            target, dt, loc("$ref"), instLoc))
+        }
 
       case DynamicRefK(ref) =>
         // dynamic-scope resolution (validate.go:84-182): resolve like $ref
@@ -938,28 +969,35 @@ object ConstraintCompiler {
         // (bookending), re-resolve against the OUTERMOST resource in the
         // compile-time entry stack defining that anchor. The compile-time
         // inlining path equals the runtime validation path, so ctx.dynScope
-        // is exact. Cycles without data descent rejected like $ref.
-        if (ctx.refStack.contains(ref))
-          throw new IllegalArgumentException(
-            s"unsupported: \\$$dynamicRef cycle without data descent at $ref")
-        val fragIdx = ref.indexOf('#')
-        val frag = if (fragIdx < 0) "" else ref.substring(fragIdx + 1)
-        val (raw0, base0, owner0) = ctx.doc.resolveRefFull(ref)
-        val bookended = frag.nonEmpty && !frag.startsWith("/") && (raw0 match {
-          case o: JObject => (o \ "$dynamicAnchor") == JString(frag)
-          case _ => false
-        })
-        val (rawT, baseT, ownerT) =
-          if (bookended)
-            ctx.dynScope.collectFirst {
-              case (d, b) if d.scopedDynAnchors.contains((b, frag)) =>
-                (d.scopedDynAnchors((b, frag)), b, d)
-            }.getOrElse((raw0, base0, owner0))
-          else (raw0, base0, owner0)
-        val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
-        Some(compileNode(sub, ctx.copy(refStack = ctx.refStack + ref,
-            dynScope = pushScope(ctx.dynScope, ownerT, baseT)),
-          target, dt, loc("$dynamicRef"), instLoc))
+        // is exact. Cycles without data descent get the same bounded
+        // unrolling + least-fixpoint bottom as $ref.
+        val cyclingD = ctx.refStack.contains(ref)
+        val spentD = ctx.unroll.getOrElse(ref, 0)
+        if (cyclingD && spentD >= MaxNoDescentUnroll)
+          Some(simple(lit(false), "$dynamicRef", loc("$dynamicRef"), instLoc,
+            lit("recursive $dynamicRef exceeded the no-progress depth guard")))
+        else {
+          val ctxD =
+            if (cyclingD) ctx.copy(unroll = ctx.unroll + (ref -> (spentD + 1))) else ctx
+          val fragIdx = ref.indexOf('#')
+          val frag = if (fragIdx < 0) "" else ref.substring(fragIdx + 1)
+          val (raw0, base0, owner0) = ctxD.doc.resolveRefFull(ref)
+          val bookended = frag.nonEmpty && !frag.startsWith("/") && (raw0 match {
+            case o: JObject => (o \ "$dynamicAnchor") == JString(frag)
+            case _ => false
+          })
+          val (rawT, baseT, ownerT) =
+            if (bookended)
+              ctxD.dynScope.collectFirst {
+                case (d, b) if d.scopedDynAnchors.contains((b, frag)) =>
+                  (d.scopedDynAnchors((b, frag)), b, d)
+              }.getOrElse((raw0, base0, owner0))
+            else (raw0, base0, owner0)
+          val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
+          Some(compileNode(sub, ctxD.copy(refStack = ctxD.refStack + ref,
+              dynScope = pushScope(ctxD.dynScope, ownerT, baseT)),
+            target, dt, loc("$dynamicRef"), instLoc))
+        }
 
       case AnnotationK(name, v) =>
         // unknown keywords: custom-registered compilers apply

@@ -184,6 +184,27 @@ object TextUtil {
     if (total == 0) 0.0 else 1.0 - seen.size.toDouble / total
   }
 
+  /** Exact bigram stats packed in one long: total gram count in the high 32
+    * bits, distinct gram count in the low 32 (both fit — n_tok < 2^31). The
+    * same pass as [[dupBigramFraction]] but integer-exact, so cross-engine
+    * comparison needs no floating-point rounding; the ratio
+    * 1 − distinct/total stays derivable downstream. */
+  def dupBigramStats(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    if (n < 2) return 0L
+    val seen = new java.util.HashSet[Long]()
+    var total = 0L
+    var i = 0
+    while (i < n - 1) {
+      if (!tokens.isNullAt(i) && !tokens.isNullAt(i + 1)) {
+        seen.add(tokens.getInt(i).toLong * 4096L + tokens.getInt(i + 1).toLong)
+        total += 1
+      }
+      i += 1
+    }
+    (total << 32) | seen.size.toLong
+  }
+
   /** Unicode NFC normalization (java.text.Normalizer). Spark has no built-in
     * normalizer function; DuckDB's is `nfc_normalize`. */
   def nfcNormalize(text: UTF8String): UTF8String = {
@@ -376,6 +397,19 @@ case class DupBigramFraction(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** `array<int>` → packed long: (total bigrams << 32) | distinct bigrams.
+  * Integer-exact companion of [[DupBigramFraction]] for oracle comparison. */
+case class DupBigramStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(v: Any): Any =
+    TextUtil.dupBigramStats(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.TextUtil.dupBigramStats($c)")
+  override protected def withNewChildInternal(c: Expression): DupBigramStats =
+    copy(child = c)
+}
+
 /** `string` → `string` Unicode NFC normalization (codegen'd). */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -401,6 +435,8 @@ object TextExprs {
     GraftSql.toColumn(SynthTokens(GraftSql.toExpression(id.cast("long")), seed, vocab))
   def dupBigramFraction(tokens: Column): Column =
     GraftSql.toColumn(DupBigramFraction(GraftSql.toExpression(tokens.cast("array<int>"))))
+  def dupBigramStats(tokens: Column): Column =
+    GraftSql.toColumn(DupBigramStats(GraftSql.toExpression(tokens.cast("array<int>"))))
   def nfcNormalize(text: Column): Column =
     GraftSql.toColumn(NfcNormalize(GraftSql.toExpression(text)))
   def dedupLines(paras: Column, minLen: Int): Column =

@@ -129,9 +129,15 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
     case "" => (res, resBase)
     // pointer descent re-bases at embedded $id resources it crosses
     case f if f.startsWith("/") => SchemaParser.jsonPointerWithBase(res, resBase, f)
-    case a => scopedAnchors.get((resBase, a)).orElse(anchors.get(a))
-      // a $dynamicAnchor also creates a plain anchor for non-dynamic $refs
-      .orElse(scopedDynAnchors.get((resBase, a))).orElse(dynamicAnchors.get(a))
+    // BOTH resource-scoped tables outrank the flat document-order fallbacks:
+    // a plain-name fragment is scoped to the resource it resolves against
+    // (an anchor of the same name in a sibling resource must not shadow the
+    // local $dynamicAnchor — the official "$anchor with the same name as a
+    // $dynamicAnchor" case). A $dynamicAnchor also creates a plain anchor
+    // for non-dynamic $refs.
+    case a => scopedAnchors.get((resBase, a))
+      .orElse(scopedDynAnchors.get((resBase, a)))
+      .orElse(anchors.get(a)).orElse(dynamicAnchors.get(a))
       .map((_, resBase))
       .getOrElse(throw new IllegalArgumentException(s"unknown anchor in $ref"))
   }

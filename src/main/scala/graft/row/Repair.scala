@@ -35,15 +35,6 @@ import org.json4s.{JBool, JDouble, JInt, JLong, JString, JValue}
   * (sum of value-changed flags), so repair + audit costs one scan. */
 object Repair {
 
-  private def jvLit(v: JValue): Option[Column] = v match {
-    case JString(s) => Some(lit(s))
-    case JInt(n) => Some(lit(n.toLong))
-    case JLong(n) => Some(lit(n))
-    case JDouble(d) => Some(lit(d))
-    case JBool(b) => Some(lit(b))
-    case _ => None
-  }
-
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case _ => false
@@ -79,8 +70,14 @@ object Repair {
       kws.collectFirst { case EnumK(vs) => vs }.foreach { vs =>
         val members = vs.collect { case JString(s) => s }
         if (members.nonEmpty && members.size == vs.size) {
-          val fallback = kws.collectFirst { case DefaultK(d) => d }
-            .flatMap(jvLit).getOrElse(lit(null).cast(dt))
+          // the default is only a usable substitute when it is itself an
+          // enum member — a schema with an inconsistent default would
+          // otherwise have the repair write a value that STILL violates
+          // the enum, breaking the repaired-rows-are-clean contract; fall
+          // back to the null quarantine instead
+          val fallback = kws.collectFirst { case DefaultK(JString(d)) => d }
+            .filter(members.contains)
+            .map(d => lit(d).cast(dt)).getOrElse(lit(null).cast(dt))
           cur = when(cur.isNull || cur.isin(members: _*), cur).otherwise(fallback)
           touched = true
         }

@@ -123,6 +123,17 @@ object RowValidator {
     ConstraintCompiler.compile(doc, col(valueCol), field.dataType, opts).valid
   }
 
+  /** Companion to [[validColumn]]: the violation-record array for a
+    * single-column DataFrame of instances (keyword, keywordLocation,
+    * instanceLocation, message per entry). */
+  def violationsColumn(df: DataFrame, schemaJson: String, valueCol: String = "value",
+                       opts: CompileOpts = CompileOpts(nullIsAbsent = false)): Column = {
+    val doc = SchemaParser.parse(schemaJson)
+    val field = df.schema.find(_.name == valueCol)
+      .getOrElse(throw new IllegalArgumentException(s"no column $valueCol"))
+    ConstraintCompiler.compile(doc, col(valueCol), field.dataType, opts).violations
+  }
+
   /** Apply `default` values before validation (mirrors the reference's
     * ApplyDefaults option): defaults apply at EVERY depth the validation
     * recursion reaches, not just top-level properties —

@@ -200,13 +200,14 @@ final class AppendSnapshotStore(spark: SparkSession, root: String) {
 
     def snapDf(snapIds: Seq[Long]): Option[DataFrame] = {
       // per snapshot: stats-pruned file list, or the whole dir when no stats
-      val (noStats, withStats) = snapIds.partition(id =>
-        FileStats.keptFiles(f, statsDir, id.toString, new Path(base, s"snap=$id"),
-          column, lo, hi).isEmpty)
-      val keptFiles = withStats.flatMap(id =>
-        FileStats.keptFiles(f, statsDir, id.toString, new Path(base, s"snap=$id"),
-          column, lo, hi).get)
-      val paths = noStats.map(id => s"$base/snap=$id") ++ keptFiles
+      // (one sidecar read per snapshot — keptFiles parses the filesystem)
+      val kept: Map[Long, Option[Seq[String]]] = snapIds.map(id =>
+        id -> FileStats.keptFiles(f, statsDir, id.toString,
+          new Path(base, s"snap=$id"), column, lo, hi)).toMap
+      val paths = snapIds.flatMap(id => kept(id) match {
+        case None => Seq(s"$base/snap=$id") // no sidecar: whole dir
+        case Some(files) => files
+      })
       if (paths.isEmpty) None
       else Some(spark.read.option("basePath", base).parquet(paths: _*)
         .withColumnRenamed("snap", "_snap_id")
@@ -386,7 +387,19 @@ private[snapshot] object FileStats {
               val fld = schema.getType(fieldIdx)
               val prim = fld.asPrimitiveType()
               val typ: Option[String] = prim.getPrimitiveTypeName match {
-                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 => Some("I")
+                // INT32/INT64 physical values are only comparable as plain
+                // integers when the logical annotation says so: a DECIMAL
+                // column stores raw UNSCALED values (123.45 → 12345) and
+                // DATE/TIME/TIMESTAMP store epoch offsets — comparing those
+                // against logical-value bounds would silently skip files
+                // that contain matching rows. Only null (plain int) and
+                // explicit int annotations qualify; everything else gets no
+                // COL line and is never pruned on (always kept — safe).
+                case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
+                  if fld.getLogicalTypeAnnotation == null ||
+                    fld.getLogicalTypeAnnotation
+                      .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+                  => Some("I")
                 case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("F")
                 case PrimitiveTypeName.BINARY
                   if fld.getLogicalTypeAnnotation ==

@@ -58,6 +58,15 @@ object Sampling {
     val avail = df.filter(col(strataCol).isin(targetShares.keys.toSeq: _*))
       .groupBy(strataCol).agg(sum(col(weightCol).cast("long")).as("w"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    mixWithAvail(df, strataCol, keyCol, targetShares, avail)
+  }
+
+  /** [[mixToTarget]]'s fraction arithmetic over PRECOMPUTED per-stratum
+    * availabilities — lets callers that already aggregated the weights
+    * (mixWithTemperature) skip a second identical scan of the input. */
+  private def mixWithAvail(df: DataFrame, strataCol: String, keyCol: String,
+                           targetShares: Map[String, Double],
+                           avail: Map[String, Long]): DataFrame = {
     // deterministic iteration order: fraction arithmetic must be
     // bit-reproducible across runs AND engines (the DuckDB oracle replays it)
     val present = targetShares.toSeq.sortBy(_._1).filter(s => avail.getOrElse(s._1, 0L) > 0L)
@@ -114,7 +123,11 @@ object Sampling {
     * arithmetic. τ = 1 reproduces natural proportions (keeps everything);
     * τ → ∞ flattens toward uniform, down-sampling the head strata. Shares
     * are rounded to 9dp so the derived table is engine-portable (the DuckDB
-    * oracle replays the same pow/normalize/round pipeline).
+    * oracle replays the same pow/normalize/round pipeline). Same libm caveat
+    * as [[graft.table.TextAnalysis.dsirRatioTable]]: a 1-ulp `pow`
+    * divergence at an exact half-way 9th decimal could flip a rounded
+    * share — on platforms where that matters, compute the shares once and
+    * pass them to [[mixToTarget]] directly.
     *
     * Cost on top of mixToTarget: one extra map-side-combined aggregation to
     * |strata| rows — the 100 TB side still only ever runs the zero-shuffle
@@ -131,7 +144,10 @@ object Sampling {
     val shares = pows.map { case (s, p) =>
       s -> BigDecimal(p / tot).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
     }.toMap
-    mixToTarget(df, strataCol, keyCol, weightCol, shares)
+    // reuse the availabilities already aggregated above — routing through
+    // mixToTarget re-ran the identical groupBy/sum/collect (a second full
+    // scan of the input just to recompute `avail`)
+    mixWithAvail(df, strataCol, keyCol, shares, avail.toMap)
   }
 
   /** EXACTLY `k` rows per stratum (fewer when the stratum is smaller):

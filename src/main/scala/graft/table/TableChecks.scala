@@ -432,14 +432,17 @@ object TableChecks {
       // adaptive: the DOMAIN size, not the input size, decides the path. A
       // discrete column (source, lang, token counts) has a bounded domain
       // even at 10^12 rows — for |domain| ≤ driverDomainMax (≤ ~1.5 MB of
-      // (v, ca, cb) triples) the exact CDF walk runs on the driver in one
-      // collect, skipping the quantile action, the windows, and the joins
-      // whose plan compilation alone cost multiple seconds per call. The
+      // (v, ca, cb) triples) the exact CDF walk runs on the driver,
+      // skipping the quantile action, the windows, and the joins whose
+      // plan compilation alone cost multiple seconds per call. The
       // distributed two-phase prefix sum below remains the path for
       // genuinely continuous domains (it parallelizes; this doesn't).
-      val domainSize = merged.count()
-      if (domainSize <= driverDomainMax) {
-        val rows = merged.collect().sortBy(_.getDouble(0))
+      // ONE probe action decides the route AND supplies the rows (the
+      // chiSquaredStatistic pattern) — a separate count() then collect()
+      // paid two jobs over the same table.
+      val probe = merged.limit(driverDomainMax + 1).collect()
+      if (probe.length <= driverDomainMax) {
+        val rows = probe.sortBy(_.getDouble(0))
         var na = 0L; var nb = 0L
         rows.foreach { r => na += r.getLong(1); nb += r.getLong(2) }
         var cum_a = 0L; var cum_b = 0L; var best = 0.0

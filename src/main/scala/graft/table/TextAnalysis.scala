@@ -82,6 +82,13 @@ object TextAnalysis {
   def dupBigramFraction(tokens: Column): Column =
     graft.expr.TextExprs.dupBigramFraction(tokens)
 
+  /** Integer-exact companion of [[dupBigramFraction]]: one packed long with
+    * total bigram count (high 32 bits) and distinct bigram count (low 32).
+    * Use for cross-engine verification — no floating-point rounding on the
+    * comparison path; the ratio is derivable downstream. */
+  def dupBigramStats(tokens: Column): Column =
+    graft.expr.TextExprs.dupBigramStats(tokens)
+
   /** Canonical text normalization for training corpora: whitespace collapse,
     * trim, lowercase, Unicode NFC. Stays inside whole-stage codegen (NFC is
     * a native expression; the rest are built-ins). */
@@ -302,7 +309,18 @@ object TextAnalysis {
   }
 
   /** Integer-scaled smoothed log-ratio table: ⌊10^6·(ln p̂_target(b) −
-    * ln q̂_raw(b)) + 0.5⌋ with add-`alpha` smoothing. Driver-side, O(buckets). */
+    * ln q̂_raw(b)) + 0.5⌋ with add-`alpha` smoothing. Driver-side, O(buckets).
+    *
+    * Cross-engine determinism caveat: the quantization makes the table
+    * integer-exact AFTER the floor, but the floor's input still comes from
+    * libm — JVM `Math.log` is required to be ≤1 ulp (and in practice uses
+    * fdlibm-exact StrictMath tables for common inputs) while another
+    * engine's `ln` may differ by 1 ulp, which at an exact .5 boundary flips
+    * a table entry. The oracle comparison therefore holds on platforms
+    * where both libms agree on these inputs (verified here); a
+    * belt-and-braces deployment would compute the table ONCE on the driver
+    * and feed the same integer table to both engines — the downstream
+    * scoring is pure integer arithmetic either way. */
   def dsirRatioTable(targetCounts: Array[Long], rawCounts: Array[Long],
                      alpha: Double = 0.5): Array[Long] = {
     require(targetCounts.length == rawCounts.length)

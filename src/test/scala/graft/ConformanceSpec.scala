@@ -32,7 +32,8 @@ class ConformanceSpec extends SparkSpec {
       "/conformance/cases12.json", "/conformance/cases13.json",
       "/conformance/cases14.json", "/conformance/cases15.json",
       "/conformance/cases16.json", "/conformance/cases17.json",
-      "/conformance/cases18.json", "/conformance/cases19.json").flatMap { f =>
+      "/conformance/cases18.json", "/conformance/cases19.json",
+      "/conformance/cases20.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
