@@ -212,9 +212,12 @@ object Formats {
     * Dialect note: Java's Pattern accepts a superset of Go's RE2, so the
     * parse is paired with the RegexDialect scanner — instance strings using
     * Java-only constructs (backreferences, lookaround, atomic groups,
-    * possessive quantifiers) are REJECTED like Go's
-    * `regexp/syntax.Parse(s, syntax.Perl)` rejects them. Residual gap: exotic
-    * Java-only escapes outside the scanner's list still pass. */
+    * possessive quantifiers, \h/\H/\V/\R/\X classes, Java-only inline flags,
+    * repeat counts above RE2's 1000 cap) are REJECTED like Go's
+    * `regexp/syntax.Parse(s, syntax.Perl)` rejects them, and divergent-
+    * meaning constructs are translated (\v → the VT literal) or flagged
+    * ((?U): ungreedy in RE2, UNICODE_CASE in Java). Residual gap: an exotic
+    * Java-only escape outside the scanner's list would still pass. */
   private lazy val regexValid =
     udf { s: String =>
       // translate RE2-only syntax first so patterns Go accepts but Java

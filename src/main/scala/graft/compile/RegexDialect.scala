@@ -38,6 +38,12 @@ object RegexDialect {
             found += "named backreference \\k<...>"
           else if (e == 'Z') found += "\\Z anchor (RE2 has only \\z)"
           else if (e == 'G') found += "\\G anchor"
+          // Java-only whitespace/grapheme classes: RE2 (Go regexp/syntax)
+          // rejects these escapes outright ("invalid escape sequence")
+          else if (e == 'h' || e == 'H' || e == 'V')
+            found += s"\\$e horizontal/vertical-whitespace class (Java-only)"
+          else if (e == 'R') found += "\\R linebreak matcher (Java-only)"
+          else if (e == 'X') found += "\\X grapheme cluster (Java-only)"
         }
         i += 2 // skip the escaped char entirely
       } else if (inClass) {
@@ -61,7 +67,24 @@ object RegexDialect {
             case '<' if i + 3 < n && (pattern.charAt(i + 3) == '=' ||
                                       pattern.charAt(i + 3) == '!') =>
               found += "lookbehind (?<=...) / (?<!...)"
-            case _ => // (?:, (?i), (?<name> — all RE2-valid
+            case _ =>
+              // (?:, (?<name>, (?P<name> are RE2-valid. Inline FLAG groups
+              // need a char-by-char check: RE2 knows i m s U (U = ungreedy),
+              // Java knows i m s x d u U (U = UNICODE_CASE!). Java-only
+              // flags are rejected by Go's parser; 'U' parses on BOTH but
+              // MEANS different things — the silent-divergence worst case.
+              var j = i + 2
+              while (j < n && (pattern.charAt(j).isLetter || pattern.charAt(j) == '-')) j += 1
+              if (j < n && (pattern.charAt(j) == ')' || pattern.charAt(j) == ':')) {
+                pattern.substring(i + 2, j).foreach {
+                  case 'x' => found += "(?x) extended mode flag (Java-only; RE2 rejects)"
+                  case 'd' => found += "(?d) UNIX-lines flag (Java-only; RE2 rejects)"
+                  case 'u' => found += "(?u) unicode-case flag (Java-only; RE2 rejects)"
+                  case 'U' => found += "(?U) flag diverges (ungreedy in RE2, UNICODE_CASE in Java)"
+                  case c2 if "ims-".indexOf(c2) >= 0 => // shared, same meaning
+                  case c2 => found += s"(?$c2) unknown inline flag"
+                }
+              }
           }
           i += 2 // consume "(?"; the discriminator is re-scanned harmlessly
         case '*' | '?' =>
@@ -73,7 +96,18 @@ object RegexDialect {
           // only a real {m} / {m,} / {m,n} counts as a quantifier; a literal
           // '{' (or '}') must not trigger the possessive detector
           val end = braceQuantEnd(pattern, i)
-          if (end > 0) { i = end; quantNow = true } else i += 1
+          if (end > 0) {
+            // Go's regexp/syntax caps repeat counts at 1000 ("invalid
+            // repeat count"); Java allows up to Int.MaxValue — a schema
+            // with {m,n} beyond 1000 would compile here and be rejected
+            // by the reference
+            val body = pattern.substring(i + 1, end - 1)
+            val bounds = body.split(",", -1).filter(_.nonEmpty)
+              .map(s => if (s.length > 9) Long.MaxValue else s.toLong)
+            if (bounds.exists(_ > 1000L))
+              found += s"repeat count {$body} above RE2's 1000 limit"
+            i = end; quantNow = true
+          } else i += 1
         case _ =>
           i += 1
       }
@@ -129,7 +163,15 @@ object RegexDialect {
     val n = pattern.length
     while (i < n) {
       val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < n) { sb.append(c).append(pattern.charAt(i + 1)); i += 2 }
+      if (c == '\\' && i + 1 < n && pattern.charAt(i + 1) == 'v') {
+        // RE2's \v is the literal VERTICAL TAB; Java's \v is the
+        // vertical-whitespace CLASS — silently different matches. \x0B is
+        // the VT literal in both engines (valid inside and outside classes),
+        // so the translation preserves RE2 semantics. (JavaSuperset callers
+        // inherit the RE2 meaning of \v — documented on RegexPolicy.)
+        sb.append("\\x0B"); i += 2
+      }
+      else if (c == '\\' && i + 1 < n) { sb.append(c).append(pattern.charAt(i + 1)); i += 2 }
       else if (!inClass && c == '[') {
         inClass = true
         sb.append(c); i += 1
@@ -184,6 +226,9 @@ object RegexPolicy {
   /** Reject Java-only constructs at compile time (reference parity). */
   case object Re2Strict extends RegexPolicy
   /** Accept the full Java dialect — documented divergence from the
-    * reference, for callers that control their schemas. */
+    * reference, for callers that control their schemas. One caveat carries
+    * over from the parity translation: `\v` keeps its RE2 meaning (the
+    * literal vertical tab, translated to `\x0B`), not Java's
+    * vertical-whitespace class. */
   case object JavaSuperset extends RegexPolicy
 }

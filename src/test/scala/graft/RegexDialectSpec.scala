@@ -54,6 +54,41 @@ class RegexDialectScanSpec extends AnyFunSuite {
                   """^\p{L}[\p{L}\p{N}_-]{0,63}$""", "b.t", "^a", "https?://[^ ]+"))
       assert(re2Incompatibilities(p).isEmpty, p)
   }
+
+  test("repeat counts above RE2's 1000 limit are flagged (Go 'invalid repeat count')") {
+    assert(re2Incompatibilities("a{1001}").exists(_.contains("1000 limit")))
+    assert(re2Incompatibilities("a{2,5000}").exists(_.contains("1000 limit")))
+    assert(re2Incompatibilities("a{999999999999}").exists(_.contains("1000 limit")))
+    assert(re2Incompatibilities("a{1000}").isEmpty)
+    assert(re2Incompatibilities("a{0,1000}").isEmpty)
+    assert(re2Incompatibilities("a{1001").isEmpty) // literal braces, not a quantifier
+  }
+
+  test("Java-only escapes \\h \\H \\V \\R \\X are flagged; \\s \\S \\w \\d are not") {
+    for (e <- Seq("""\h""", """\H""", """\V""", """\R""", """\X"""))
+      assert(re2Incompatibilities(s"a${e}b").nonEmpty, e)
+    assert(re2Incompatibilities("""\s\S\w\W\d\D""").isEmpty)
+  }
+
+  test("inline flags: Java-only x/d/u and the divergent U are flagged; i m s are not") {
+    assert(re2Incompatibilities("(?x)a b").exists(_.contains("(?x)")))
+    assert(re2Incompatibilities("(?d)a$").exists(_.contains("(?d)")))
+    assert(re2Incompatibilities("(?u)A").exists(_.contains("(?u)")))
+    assert(re2Incompatibilities("(?U)a+").exists(_.contains("diverges")))
+    assert(re2Incompatibilities("(?ims)a(?-i)b").isEmpty)
+    assert(re2Incompatibilities("(?i:abc)").isEmpty)
+    assert(re2Incompatibilities("(?P<name>a)(?<other>b)").isEmpty) // named groups, not flags
+  }
+
+  test("toJava translates \\v to the VT literal (RE2 meaning), POSIX classes, (?P<>)") {
+    assert(RegexDialect.toJava("""a\vb""") === """a\x0Bb""")
+    assert(RegexDialect.toJava("""[\v]""") === """[\x0B]""")
+    assert(RegexDialect.toJava("""a\\vb""") === """a\\vb""") // escaped backslash + v
+    // Java must now see VT as a literal: the class matches VT, not newline
+    val p = java.util.regex.Pattern.compile(RegexDialect.toJava("""^\v$"""))
+    assert(p.matcher("\u000B").matches())
+    assert(!p.matcher("\n").matches())
+  }
 }
 
 /** Compile-time policy: Re2Strict (default) rejects, JavaSuperset accepts. */
