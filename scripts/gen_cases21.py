@@ -180,6 +180,35 @@ g("unevaluatedItems: if/then prefix coverage is conditional",
    ("if matched: third uncovered", [1, 2, 3], False),
    ("if not matched: if's own prefix does not cover", [2], False)])
 
+# ------------------------------ nested-unevaluated / annotation-escape edges
+g("a nested unevaluatedProperties inside allOf covers everything for the outer one",
+  {"allOf": [{"unevaluatedProperties": True}],
+   "unevaluatedProperties": False},
+  [("inner unevaluated:true evaluates all keys", {"a": 1}, True),
+   ("empty object", {}, True)])
+
+g("additionalProperties inside an allOf branch contributes coverage",
+  {"allOf": [{"additionalProperties": True}],
+   "unevaluatedProperties": False},
+  [("covered by the branch's additionalProperties", {"a": 1, "b": 2}, True)])
+
+g("annotations do NOT escape `not`: double negation contributes no coverage",
+  {"not": {"not": {"properties": {"a": True}}},
+   "unevaluatedProperties": False},
+  [("a stays unevaluated despite matching the inner schema", {"a": 1}, False),
+   ("empty object has nothing unevaluated", {}, True)])
+
+g("a FAILING allOf branch still fails the whole schema (coverage is moot)",
+  {"allOf": [{"required": ["z"], "unevaluatedProperties": True}],
+   "unevaluatedProperties": False},
+  [("branch fails on required", {"a": 1}, False)])
+
+g("unevaluatedItems: nested unevaluatedItems inside allOf covers the tail",
+  {"allOf": [{"unevaluatedItems": True}],
+   "unevaluatedItems": False},
+  [("inner unevaluatedItems evaluates every element", [1, 2, 3], True),
+   ("empty array", [], True)])
+
 # --------------------------------------------- numeric boundary sweep
 for kw, bound, cases in [
     ("minimum", 10, [("below", 9.999, False), ("equal", 10.0, True), ("above", 10.001, True)]),

@@ -97,4 +97,25 @@ class MapTypeSpec extends SparkSpec {
     assert(!valid(mapDf(Map("a" -> 1, "x" -> 2)), s))
     assert(valid(mapDf(Map("a" -> 1)), s))
   }
+
+  test("unevaluatedProperties over maps: nested unevaluatedProperties in allOf covers all") {
+    val s = """{"allOf": [{"unevaluatedProperties": true}],
+               "unevaluatedProperties": false}"""
+    assert(valid(mapDf(Map("anything" -> 1, "goes" -> 2)), s))
+  }
+
+  test("unevaluatedProperties over maps: additionalProperties in a branch covers") {
+    val s = """{"allOf": [{"additionalProperties": {"maximum": 10}}],
+               "unevaluatedProperties": false}"""
+    assert(valid(mapDf(Map("k" -> 3)), s))
+    // branch fails on the value -> whole schema fails (coverage moot)
+    assert(!valid(mapDf(Map("k" -> 30)), s))
+  }
+
+  test("unevaluatedProperties over maps: annotations do not escape `not`") {
+    val s = """{"not": {"not": {"properties": {"a": {}}}},
+               "unevaluatedProperties": false}"""
+    // the inner double-negated properties MUST NOT cover key a
+    assert(!valid(mapDf(Map("a" -> 1)), s))
+  }
 }
