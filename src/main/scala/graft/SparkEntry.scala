@@ -48,6 +48,35 @@ object SparkEntry {
   private def tokenSeqs(s: SparkSession, dir: String): DataFrame =
     TokenSeqs.fromDocuments(t(s, dir, "documents"))
 
+  /** Streaming read of a test table: Spark's file streaming source requires
+    * a DIRECTORY, and the test tables are single parquet files — expose the
+    * file through a temp directory symlink (same bytes, real streaming file
+    * source + listing). */
+  private def streamTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = t(s, dir, name).schema
+    val tmp = java.nio.file.Files.createTempDirectory(s"stream_src_$name")
+    tmp.toFile.deleteOnExit()
+    val link = tmp.resolve(s"$name.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+    link.toFile.deleteOnExit()
+    s.readStream.schema(schema).parquet(tmp.toString)
+  }
+
+  /** Execute a streaming dataflow to completion (availableNow trigger,
+    * in-memory sink) and return the final result table. Used by the
+    * q_stream_* queries so the driver's oracle gate exercises REAL
+    * Structured Streaming micro-batch execution, not just the batch twin. */
+  private def runStream(s: SparkSession, out: DataFrame, mode: String): DataFrame = {
+    val name = "stream_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   /** Flagship: full row-level constraint validation over the canonical derived
     * table at sf0.001 — violation rows out. */
   def entry(spark: SparkSession): DataFrame =
@@ -876,6 +905,45 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .select(col("w.start").as("w_start"), col("event_type"),
           col("cnt"), round(col("sum_value"), 4).as("sum_value"))),
+
+    // ---- STRUCTURED STREAMING, driver-oracled: the same dataflows as their
+    //      batch twins but executed through readStream → transform →
+    //      writeStream with an availableNow trigger (real micro-batch
+    //      execution, memory sink). Deterministic: the final table equals
+    //      the batch answer, so each reuses its batch twin's oracle SQL. ----
+    // stateless row validation on a stream (append mode)
+    "q_stream_violations" -> ((s, dir) => {
+      val docs = streamTable(s, dir, "documents")
+      val out = graft.streaming.StreamingValidation.violations(
+        TokenSeqs.fromDocuments(docs), SchemaParser.parse(docSchemaJson), "doc_id")
+        .select("doc_id", "keyword")
+      runStream(s, out, "append").distinct()
+    }),
+    // watermarked event-time windowed aggregation (complete mode)
+    "q_stream_window" -> ((s, dir) => {
+      val ev = streamTable(s, dir, "events")
+        // event-time columns must be TIMESTAMP (LTZ); the table stores NTZ.
+        // Session TZ is pinned UTC, so the round-trip back to NTZ below is
+        // value-preserving and matches the batch twin's output type.
+        .withColumn("ts", col("ts").cast("timestamp"))
+      val out = ev.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .select(col("w.start").cast("timestamp_ntz").as("w_start"), col("event_type"),
+          col("cnt"), round(col("sum_value"), 4).as("sum_value"))
+      runStream(s, out, "complete")
+    }),
+    // stateless stream-static referential integrity (broadcast anti-join)
+    "q_stream_ri" -> ((s, dir) => {
+      val docs = streamTable(s, dir, "documents")
+      val dim = t(s, dir, "documents").select("source").distinct()
+        .filter(!col("source").isin("src16", "src17", "src18", "src19"))
+      val out = graft.streaming.StreamingValidation.streamingRiViolations(
+        docs, dim, "source", "source", "doc_id")
+        .select(col("doc_id"), col("message"))
+      runStream(s, out, "append")
+    }),
 
     // ---- t-digest quantile sketch (custom TypedImperativeAggregate).
     //      DuckDB cannot reproduce the sketch itself, so the driver-checkable
@@ -2208,6 +2276,28 @@ object SparkEntry {
            count(*) AS cnt,
            round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
            FROM events GROUP BY 1, 2""",
+
+      // Streaming twins: identical final tables to their batch counterparts
+      // (availableNow over a static source is deterministic), so the oracles
+      // are the batch oracles.
+      "q_stream_violations" ->
+        s"""WITH ts AS (SELECT doc_id::VARCHAR doc_id, $tokSql toks,
+             len(string_split(text,' ')) n_tok, source FROM documents)
+           SELECT doc_id, 'maximum' AS keyword FROM ts
+             WHERE n_tok > 80 OR len(list_filter(toks, t -> t > 3900)) > 0
+           UNION
+           SELECT doc_id, 'enum' FROM ts WHERE source NOT IN ($allowedSrc)""",
+
+      "q_stream_window" ->
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS w_start, event_type,
+           count(*) AS cnt,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+           FROM events GROUP BY 1, 2""",
+
+      "q_stream_ri" ->
+        s"""SELECT doc_id::VARCHAR AS doc_id,
+           'value of source not in dimension: ' || source AS message
+           FROM documents WHERE source NOT IN ($allowedSrc)""",
 
       "q_json_ingest" ->
         """SELECT event_id,
