@@ -503,18 +503,47 @@ object SchemaParser {
     // the entry node's own $id is already reflected in base0 (the caller
     // resolved the resource URI) — only DESCENDED nodes re-base, else a
     // relative root $id would resolve against itself twice
-    if (pointer.isEmpty) return (root, base0)
-    require(pointer.startsWith("/"), s"bad pointer: $pointer")
-    pointer.drop(1).split("/", -1).foldLeft((root, base0)) {
+    //
+    // Pointers arrive as URI fragments, so RFC 6901 §6 order applies:
+    // percent-decode the WHOLE fragment first (a key containing '/' was
+    // ~1-escaped at the pointer layer before URI-encoding, so decoding
+    // cannot create spurious separators), THEN split and ~-decode tokens.
+    val pointer1 = pctDecode(pointer)
+    if (pointer1.isEmpty) return (root, base0)
+    require(pointer1.startsWith("/"), s"bad pointer: $pointer1")
+    pointer1.drop(1).split("/", -1).foldLeft((root, base0)) {
       case ((cur, base), rawTok) =>
         val tok = rawTok.replace("~1", "/").replace("~0", "~")
         val next = cur match {
           case o: JObject => o.obj.collectFirst { case (k, v) if k == tok => v }
-            .getOrElse(throw new IllegalArgumentException(s"pointer $pointer: no key '$tok'"))
+            .getOrElse(throw new IllegalArgumentException(s"pointer $pointer1: no key '$tok'"))
           case JArray(items) => items(tok.toInt)
-          case other => throw new IllegalArgumentException(s"pointer $pointer into non-container $other")
+          case other => throw new IllegalArgumentException(s"pointer $pointer1 into non-container $other")
         }
         (next, baseAt(next, base))
     }
+  }
+
+  /** RFC 3986 percent-decoding for URI-fragment pointers: only well-formed
+    * %XX triplets decode (UTF-8 byte sequences supported); anything else
+    * passes through verbatim — lenient, because in-document refs are often
+    * written unencoded ('%' as a literal). NOT URLDecoder: that would also
+    * turn '+' into a space. */
+  private def pctDecode(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    def hex(c: Char): Int = Character.digit(c, 16)
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+        bytes.write((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2))); i += 3
+      } else {
+        val enc = c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bytes.write(enc, 0, enc.length); i += 1
+      }
+    }
+    new String(bytes.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 }
