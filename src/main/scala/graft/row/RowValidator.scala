@@ -123,6 +123,25 @@ object RowValidator {
     ConstraintCompiler.compile(doc, col(valueCol), field.dataType, opts).valid
   }
 
+  /** Draft 2020-12 "basic" output format, per row: the JSON document the
+    * reference's error list serializes to (`pkg/errors/errors.go:15-22`
+    * ValidationError fields, list-of-output-units shape from the spec's
+    * §12.4.2 Basic structure) — `{"valid": bool, "errors": [{
+    * "keywordLocation", "instanceLocation", "error"}, ...]}` with `errors`
+    * omitted when valid. Adds `_basic_output: string` next to `_valid`; one
+    * projection, the violations tree is shared with [[withValidation]]. */
+  def withBasicOutput(df: DataFrame, doc: SchemaDoc,
+                      opts: CompileOpts = CompileOpts()): DataFrame = {
+    val v = withValidation(df, doc, opts)
+    val units = transform(col("_violations"), x =>
+      struct(x.getField("keywordLocation").as("keywordLocation"),
+        x.getField("instanceLocation").as("instanceLocation"),
+        x.getField("message").as("error")))
+    v.withColumn("_basic_output",
+      when(col("_valid"), to_json(struct(col("_valid").as("valid"))))
+        .otherwise(to_json(struct(col("_valid").as("valid"), units.as("errors")))))
+  }
+
   /** Companion to [[validColumn]]: the violation-record array for a
     * single-column DataFrame of instances (keyword, keywordLocation,
     * instanceLocation, message per entry). */

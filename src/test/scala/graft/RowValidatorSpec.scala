@@ -311,4 +311,18 @@ class RowValidatorSpec extends SparkSpec {
       df.filter(col("n") < 13), doc, "id", k = 7).count()
     assert(tiny == 2) // n = 11, 12
   }
+
+  test("withBasicOutput: draft 2020-12 basic output JSON per row") {
+    import spark.implicits._
+    val schema = """{"type": "object", "properties": {
+      "id": {"type": "string"}, "n": {"type": "integer", "maximum": 10}}}"""
+    val df = Seq(("ok", 5L), ("bad", 15L)).toDF("id", "n")
+    val out = RowValidator.withBasicOutput(df, SchemaParser.parse(schema))
+      .select(col("id"), col("_basic_output")).as[(String, String)]
+      .collect().toMap
+    assert(out("ok") === """{"valid":true}""")
+    assert(out("bad") ===
+      """{"valid":false,"errors":[{"keywordLocation":"#/properties/n/maximum",""" +
+      """"instanceLocation":"#/n","error":"value is larger than maximum 10.0"}]}""")
+  }
 }
