@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * seeded random schema×instance sweep is a genuine two-implementation
   * check — the same role the DuckDB oracle plays for the dataset operators.
   *
-  * 600 seeded (schema, instance) pairs over the object-keyword grammar
+  * 800 seeded (schema, instance) pairs (two independent seeds) over the object-keyword grammar
   * (properties / patternProperties / additionalProperties / propertyNames /
   * required / dependentRequired / min-maxProperties / unevaluatedProperties
   * / allOf / anyOf / oneOf / not, with integer leaf constraints). Any
@@ -104,29 +104,31 @@ class StructMapDifferentialSpec extends SparkSpec {
     } catch { case e: Exception => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
   }
 
-  test("struct-typed and map-typed object validation agree (600 seeded pairs)") {
-    val r = new scala.util.Random(20260821L)
+  test("struct-typed and map-typed object validation agree (2 seeds x 400 pairs)") {
     val disagreements = scala.collection.mutable.Buffer[String]()
     var checked = 0
-    (1 to 600).foreach { i =>
-      val s = objSchema(r, depth = 2)
-      val inst = instance(r)
-      (verdict(s, inst, asMap = false), verdict(s, inst, asMap = true)) match {
-        case (Right(a), Right(b)) =>
-          checked += 1
-          if (a != b)
-            disagreements += s"#$i struct=$a map=$b\n  schema: $s\n  instance: $inst"
-        case (Left(ea), Left(eb)) => // both paths reject the schema — agreement
-          checked += 1
-          if (ea.takeWhile(_ != ':') != eb.takeWhile(_ != ':'))
-            disagreements += s"#$i differing exceptions\n  struct: $ea\n  map: $eb\n  schema: $s"
-        case (Right(a), Left(eb)) =>
-          disagreements += s"#$i struct=$a but map path threw $eb\n  schema: $s\n  instance: $inst"
-        case (Left(ea), Right(b)) =>
-          disagreements += s"#$i map=$b but struct path threw $ea\n  schema: $s\n  instance: $inst"
+    Seq(20260821L, 424242L).foreach { seed =>
+      val r = new scala.util.Random(seed)
+      (1 to 400).foreach { i =>
+        val s = objSchema(r, depth = 2)
+        val inst = instance(r)
+        (verdict(s, inst, asMap = false), verdict(s, inst, asMap = true)) match {
+          case (Right(a), Right(b)) =>
+            checked += 1
+            if (a != b)
+              disagreements += s"seed=$seed #$i struct=$a map=$b\n  schema: $s\n  instance: $inst"
+          case (Left(ea), Left(eb)) => // both paths reject the schema — agreement
+            checked += 1
+            if (ea.takeWhile(_ != ':') != eb.takeWhile(_ != ':'))
+              disagreements += s"seed=$seed #$i differing exceptions\n  struct: $ea\n  map: $eb\n  schema: $s"
+          case (Right(a), Left(eb)) =>
+            disagreements += s"seed=$seed #$i struct=$a but map path threw $eb\n  schema: $s\n  instance: $inst"
+          case (Left(ea), Right(b)) =>
+            disagreements += s"seed=$seed #$i map=$b but struct path threw $ea\n  schema: $s\n  instance: $inst"
+        }
       }
     }
-    info(s"$checked/600 pairs compared")
+    info(s"$checked/800 pairs compared")
     assert(disagreements.isEmpty,
       s"\n${disagreements.size} disagreements:\n${disagreements.take(5).mkString("\n")}")
   }
