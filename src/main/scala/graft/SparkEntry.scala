@@ -57,8 +57,10 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory(s"stream_src_$name")
     tmp.toFile.deleteOnExit()
     val link = tmp.resolve(s"$name.parquet")
+    // absolute target: a relative dir would make the link resolve against
+    // the TEMP directory and dangle
     java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$dir/$name.parquet"))
+      java.nio.file.Paths.get(s"$dir/$name.parquet").toAbsolutePath)
     link.toFile.deleteOnExit()
     s.readStream.schema(schema).parquet(tmp.toString)
   }
@@ -74,7 +76,13 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    // Detach the result from the sink's temp view so repeated invocations
+    // (Bench/QueryTime reps) don't pin every run's result set in driver
+    // memory for the JVM lifetime: copy the rows out, drop the view.
+    val rows = s.table(name).collect()
+    val schema = s.table(name).schema
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Flagship: full row-level constraint validation over the canonical derived

@@ -225,7 +225,8 @@ object Formats {
       s == null || ((try {
         java.util.regex.Pattern.compile(graft.compile.RegexDialect.toJava(s)); true
       } catch { case _: Exception => false }) &&
-                    graft.compile.RegexDialect.isRe2Compatible(s))
+                    // validity-only context: (?U) is a legal RE2 flag here
+                    graft.compile.RegexDialect.isRe2Compatible(s, forMatching = false))
     }
 
   /** User-registered format validators — the extension point mirroring

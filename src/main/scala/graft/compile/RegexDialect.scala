@@ -18,8 +18,18 @@ package graft.compile
 object RegexDialect {
 
   /** Human-readable list of RE2-incompatible constructs found in `pattern`
-    * (empty = no known Java-only construct). */
-  def re2Incompatibilities(pattern: String): List[String] = {
+    * (empty = no known Java-only construct).
+    *
+    * `forMatching` distinguishes the two uses of the guard: when the pattern
+    * will be MATCHED by Java's engine (`pattern` / `patternProperties`),
+    * constructs that parse on both engines but mean different things are
+    * divergences and get flagged — today that is `(?U)` (ungreedy in RE2,
+    * UNICODE_CHARACTER_CLASS in Java). When only RE2 VALIDITY is judged
+    * (`format: regex` — the reference runs `regexp/syntax.Parse`, never a
+    * match), `(?U)` is a perfectly legal RE2 flag and must NOT be flagged,
+    * or valid-per-reference instance strings would be rejected. */
+  def re2Incompatibilities(pattern: String,
+                           forMatching: Boolean = true): List[String] = {
     val found = scala.collection.mutable.LinkedHashSet.empty[String]
     var i = 0
     var inClass = false
@@ -70,9 +80,11 @@ object RegexDialect {
             case _ =>
               // (?:, (?<name>, (?P<name> are RE2-valid. Inline FLAG groups
               // need a char-by-char check: RE2 knows i m s U (U = ungreedy),
-              // Java knows i m s x d u U (U = UNICODE_CASE!). Java-only
-              // flags are rejected by Go's parser; 'U' parses on BOTH but
-              // MEANS different things — the silent-divergence worst case.
+              // Java knows i m s x d u U (U = UNICODE_CHARACTER_CLASS).
+              // Java-only flags are rejected by Go's parser; 'U' parses on
+              // BOTH but MEANS different things — a silent divergence when
+              // the pattern is matched by Java, legal RE2 when only
+              // validity is judged (see the forMatching doc above).
               var j = i + 2
               while (j < n && (pattern.charAt(j).isLetter || pattern.charAt(j) == '-')) j += 1
               if (j < n && (pattern.charAt(j) == ')' || pattern.charAt(j) == ':')) {
@@ -80,7 +92,9 @@ object RegexDialect {
                   case 'x' => found += "(?x) extended mode flag (Java-only; RE2 rejects)"
                   case 'd' => found += "(?d) UNIX-lines flag (Java-only; RE2 rejects)"
                   case 'u' => found += "(?u) unicode-case flag (Java-only; RE2 rejects)"
-                  case 'U' => found += "(?U) flag diverges (ungreedy in RE2, UNICODE_CASE in Java)"
+                  case 'U' if forMatching =>
+                    found += "(?U) flag diverges (ungreedy in RE2, UNICODE_CHARACTER_CLASS in Java)"
+                  case 'U' => // validity-only context: legal RE2 flag
                   case c2 if "ims-".indexOf(c2) >= 0 => // shared, same meaning
                   case c2 => found += s"(?$c2) unknown inline flag"
                 }
@@ -131,7 +145,8 @@ object RegexDialect {
     if (j < n && pattern.charAt(j) == '}') j + 1 else -1
   }
 
-  def isRe2Compatible(pattern: String): Boolean = re2Incompatibilities(pattern).isEmpty
+  def isRe2Compatible(pattern: String, forMatching: Boolean = true): Boolean =
+    re2Incompatibilities(pattern, forMatching).isEmpty
 
   /** RE2 POSIX class name → Java `\p{...}` name (both are US-ASCII-only
     * definitions, so the translation is semantics-preserving). `word` has no

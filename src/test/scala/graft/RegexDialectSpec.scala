@@ -80,6 +80,14 @@ class RegexDialectScanSpec extends AnyFunSuite {
     assert(re2Incompatibilities("(?P<name>a)(?<other>b)").isEmpty) // named groups, not flags
   }
 
+  test("(?U) is flagged only for MATCHING contexts — validity-only (format:regex) accepts it") {
+    // Go's regexp/syntax.Parse accepts (?U) (ungreedy): the reference judges
+    // "(?U)a*" a VALID regex, so the validity-only guard must agree
+    assert(re2Incompatibilities("(?U)a+", forMatching = false).isEmpty)
+    // Java-only flags stay rejected in both contexts (RE2 cannot parse them)
+    assert(re2Incompatibilities("(?x)a b", forMatching = false).nonEmpty)
+  }
+
   test("toJava translates \\v to the VT literal (RE2 meaning), POSIX classes, (?P<>)") {
     assert(RegexDialect.toJava("""a\vb""") === """a\x0Bb""")
     assert(RegexDialect.toJava("""[\v]""") === """[\x0B]""")
