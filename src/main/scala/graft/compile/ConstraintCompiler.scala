@@ -948,20 +948,8 @@ object ConstraintCompiler {
         // (descend clears the stack), and same-node recursion gets the
         // Kleene-iteration answer the reference reaches by short-circuiting
         // at validation time (validate.go's applicator evaluation).
-        val cycling = ctx.refStack.contains(ref)
-        val spent = ctx.unroll.getOrElse(ref, 0)
-        if (cycling && spent >= MaxNoDescentUnroll)
-          Some(simple(lit(false), "$ref", loc("$ref"), instLoc,
-            lit("recursive $ref exceeded the no-progress depth guard")))
-        else {
-          val ctx0 = if (cycling) ctx.copy(unroll = ctx.unroll + (ref -> (spent + 1))) else ctx
-          val (rawT, baseT, ownerT) = ctx.doc.resolveRefFull(ref)
-          // parse the target under its OWNING document's dialect
-          val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
-          Some(compileNode(sub, ctx0.copy(refStack = ctx0.refStack + ref,
-              dynScope = pushScope(ctx0.dynScope, ownerT, baseT)),
-            target, dt, loc("$ref"), instLoc))
-        }
+        Some(compileRefLike("$ref", ref, ctx, target, dt, kwLoc, instLoc,
+          c => c.doc.resolveRefFull(ref)))
 
       case DynamicRefK(ref) =>
         // dynamic-scope resolution (validate.go:84-182): resolve like $ref
@@ -971,33 +959,22 @@ object ConstraintCompiler {
         // inlining path equals the runtime validation path, so ctx.dynScope
         // is exact. Cycles without data descent get the same bounded
         // unrolling + least-fixpoint bottom as $ref.
-        val cyclingD = ctx.refStack.contains(ref)
-        val spentD = ctx.unroll.getOrElse(ref, 0)
-        if (cyclingD && spentD >= MaxNoDescentUnroll)
-          Some(simple(lit(false), "$dynamicRef", loc("$dynamicRef"), instLoc,
-            lit("recursive $dynamicRef exceeded the no-progress depth guard")))
-        else {
-          val ctxD =
-            if (cyclingD) ctx.copy(unroll = ctx.unroll + (ref -> (spentD + 1))) else ctx
-          val fragIdx = ref.indexOf('#')
-          val frag = if (fragIdx < 0) "" else ref.substring(fragIdx + 1)
-          val (raw0, base0, owner0) = ctxD.doc.resolveRefFull(ref)
-          val bookended = frag.nonEmpty && !frag.startsWith("/") && (raw0 match {
-            case o: JObject => (o \ "$dynamicAnchor") == JString(frag)
-            case _ => false
-          })
-          val (rawT, baseT, ownerT) =
+        Some(compileRefLike("$dynamicRef", ref, ctx, target, dt, kwLoc, instLoc,
+          { c =>
+            val fragIdx = ref.indexOf('#')
+            val frag = if (fragIdx < 0) "" else ref.substring(fragIdx + 1)
+            val (raw0, base0, owner0) = c.doc.resolveRefFull(ref)
+            val bookended = frag.nonEmpty && !frag.startsWith("/") && (raw0 match {
+              case o: JObject => (o \ "$dynamicAnchor") == JString(frag)
+              case _ => false
+            })
             if (bookended)
-              ctxD.dynScope.collectFirst {
+              c.dynScope.collectFirst {
                 case (d, b) if d.scopedDynAnchors.contains((b, frag)) =>
                   (d.scopedDynAnchors((b, frag)), b, d)
               }.getOrElse((raw0, base0, owner0))
             else (raw0, base0, owner0)
-          val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
-          Some(compileNode(sub, ctxD.copy(refStack = ctxD.refStack + ref,
-              dynScope = pushScope(ctxD.dynScope, ownerT, baseT)),
-            target, dt, loc("$dynamicRef"), instLoc))
-        }
+          }))
 
       case AnnotationK(name, v) =>
         // unknown keywords: custom-registered compilers apply
@@ -1011,6 +988,32 @@ object ConstraintCompiler {
       case _: DefaultK | _: FormatK => None
       case other =>
         throw new IllegalStateException(s"unhandled keyword ${other.name}")
+    }
+  }
+
+  /** Shared `$ref` / `$dynamicRef` compile path: cycle detection over
+    * `refStack`, the bounded no-descent unroll budget, the least-fixpoint
+    * bottom (invalid + depth-guard violation), and the compile of the
+    * resolved target under its owning document's dialect. `resolveTarget`
+    * supplies the (raw subtree, base URI, owning doc) — plain resolution
+    * for `$ref`, bookended dynamic-scope resolution for `$dynamicRef`. */
+  private def compileRefLike(keyword: String, ref: String, ctx: Ctx,
+      target: Column, dt: DataType, kwLoc: String, instLoc: Column,
+      resolveTarget: Ctx => (JValue, String, SchemaDoc)): Compiled = {
+    def loc(k: String) = s"$kwLoc/$k" // same composition as compileObj's loc
+    val cycling = ctx.refStack.contains(ref)
+    val spent = ctx.unroll.getOrElse(ref, 0)
+    if (cycling && spent >= MaxNoDescentUnroll)
+      simple(lit(false), keyword, loc(keyword), instLoc,
+        lit(s"recursive $keyword exceeded the no-progress depth guard"))
+    else {
+      val ctx0 = if (cycling) ctx.copy(unroll = ctx.unroll + (ref -> (spent + 1))) else ctx
+      val (rawT, baseT, ownerT) = resolveTarget(ctx0)
+      // parse the target under its OWNING document's dialect
+      val sub = SchemaParser.parseNode(rawT, baseT, ownerT.dialect)
+      compileNode(sub, ctx0.copy(refStack = ctx0.refStack + ref,
+          dynScope = pushScope(ctx0.dynScope, ownerT, baseT)),
+        target, dt, loc(keyword), instLoc)
     }
   }
 
