@@ -203,6 +203,40 @@ class ViolationLocationSpec extends SparkSpec {
     assert(bad.isEmpty, s"\n${bad.mkString("\n")}")
   }
 
+  /** MapType (dynamic-key) instances: locations for the runtime-key paths.
+    * Key-specific keywords that iterate the map at runtime aggregate the
+    * offending keys into the MESSAGE (instance location stays at the map)
+    * except additionalProperties/patternProperties value checks, which
+    * pin to the failing entry like the struct path. */
+  test("pinned MapType locations") {
+    import org.apache.spark.sql.functions.{col => c}
+    def mapRows(schemaJson: String, pairs: (String, Long)*): Set[(String, String, String, String)] = {
+      val df = spark.createDataFrame(
+        java.util.Arrays.asList(org.apache.spark.sql.Row(pairs.toMap)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)))))
+      df.select(explode(RowValidator.violationsColumn(df, schemaJson,
+          opts = CompileOpts(nullIsAbsent = false))).as("v"))
+        .select(c("v.keyword"), c("v.keywordLocation"), c("v.instanceLocation"),
+          c("v.message"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getString(3))).toSet
+    }
+    assert(mapRows("""{"required": ["miss"]}""", "a" -> 1L) ===
+      Set(("required", "#/required", "#", "missing required property \"miss\"")))
+    assert(mapRows(
+      """{"properties": {"a": true}, "unevaluatedProperties": false}""",
+      "a" -> 1L, "b" -> 2L, "z" -> 3L) ===
+      Set(("unevaluatedProperties", "#/unevaluatedProperties", "#",
+        "unevaluated properties: b,z")))
+    assert(mapRows("""{"minProperties": 3}""", "a" -> 1L) ===
+      Set(("minProperties", "#/minProperties", "#",
+        "object has fewer than 3 properties")))
+  }
+
   // PROBE MODE (kept for future additions): print the actual triples.
   ignore("probe: dump location triples") {
     val scenarios: Seq[(String, String, String)] = Seq(
