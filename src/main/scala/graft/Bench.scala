@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
+  /** JSON-safe number: NaN (skipped measurement) renders as null. */
+  private def jsNum(x: Double): String = if (x.isNaN) "null" else x.toString
+
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -119,12 +122,24 @@ object Bench {
     // 8.1 s at sf0.1 AND 8.3 s at sf0.01 — size-independent, i.e. bootstrap)
     spark.range(1000).select(sum(col("id"))).collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // Per-query time = MIN over reps (same estimator seq_per_sec already
+    // uses): the first rep pays plan construction + Janino codegen + JIT and
+    // absorbs any contention burst on this co-tenanted host; warm reps
+    // measure the engine. Always 2 reps, a 3rd while the query is cheap
+    // (<5 s best-so-far) — warm reps of sub-second queries cost almost
+    // nothing, and the min is robust to a single contended window.
     val results =
       if (scalingOnly) SparkEntry.queries.map { case (name, _) => name -> 0.0 }
       else SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        var best = Double.MaxValue
+        var rep = 0
+        while (rep < 2 || (rep < 3 && best < 5.0)) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          rep += 1
+        }
+        name -> best
       }
 
     // ---- phase 2: scaling measurement, N vs 4N cores (north rule) ----
@@ -196,6 +211,17 @@ object Bench {
 
     val tputN = pairs.map(_._1).max
     val tput4N = pairs.map(_._2).max
+    // secondary DIAGNOSTIC pair at 4↔16 cores (one adjacent-in-time pair):
+    // published alongside the 2↔8 gate pair every round so the level-pair
+    // choice (BASELINE.md discloses the bandwidth-envelope rationale) stays
+    // evidence, not selection. Expected lower than 2↔8 on this box — 16
+    // threads run near single-bus saturation. Skippable for quiet-window
+    // scaling re-takes via SPARK_GRAFT_SKIP_DIAG=1.
+    val skipDiag = sys.env.get("SPARK_GRAFT_SKIP_DIAG").contains("1")
+    val (diag4, diag16) =
+      if (skipDiag) (Double.NaN, Double.NaN)
+      else (atLevel(4, measureCold = false)._1, atLevel(16, measureCold = false)._1)
+    val diagEff = if (skipDiag) Double.NaN else (diag16 / diag4) / 4.0
     // absolute single-node headline at local[32] (not part of the gate)
     val tputMax = atLevel(32, measureCold = false)._1
 
@@ -208,6 +234,8 @@ object Bench {
       s""""sf":"$sfDir","scaling":{"rows":$benchRows,"n_cores":$nCores,"4n_cores":$n4Cores,""" +
       s""""seq_per_sec_n":$tputN,"seq_per_sec_4n":$tput4N,""" +
       s""""seq_per_sec_local32":$tputMax,"efficiency_n_to_4n":$efficiency,""" +
+      s""""diag_seq_per_sec_4":${jsNum(diag4)},"diag_seq_per_sec_16":${jsNum(diag16)},""" +
+      s""""diag_efficiency_4_to_16":${jsNum(diagEff)},""" +
       s""""efficiency_best_of_level":$bestOfLevel,""" +
       s""""efficiency_median_pairwise":$medianPairwise,""" +
       s""""cold_job_sec_n":$coldN,"cold_job_sec_4n":$cold4N,""" +

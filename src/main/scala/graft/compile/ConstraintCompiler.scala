@@ -84,13 +84,20 @@ object ConstraintCompiler {
     * "Continue to check all subschemas"), so any same-instance cycle
     * recurses to the depth guard (`pkg/types/schema/schema.go:1088`, 1000)
     * and the whole validation ERRORS. Graft instead closes the cycle with
-    * the least fixpoint and returns a verdict: valid exactly when some
-    * finite unfolding validates the instance — strictly more schemas get
-    * row verdicts, and rows the reference would error on surface the
-    * depth-guard violation below instead of aborting the job (at 10^12 rows
-    * a per-row abort is not an option). Recursion THROUGH data never hits
-    * this path: `descend` resets the budget because the finite DataType
-    * terminates it (the strict-tree / meta-schema shapes). */
+    * the least fixpoint and returns a verdict. For MONOTONE (negation-free)
+    * cycles that verdict is exact: valid exactly when some finite unfolding
+    * validates the instance — strictly more schemas get row verdicts, and
+    * rows the reference would error on surface the depth-guard violation
+    * below instead of aborting the job (at 10^12 rows a per-row abort is
+    * not an option). A no-descent cycle routed through `not` (or an `if`
+    * condition used negatively) is NOT monotone: with lit(false) as bottom
+    * the closed-form verdict depends on the parity of the unroll budget,
+    * not on any finite unfolding — the reference errors on every such
+    * cycle, so behavior there remains a documented deviation with an
+    * arbitrary (but deterministic) verdict plus the depth-guard violation
+    * row. Recursion THROUGH data never hits this path: `descend` resets
+    * the budget because the finite DataType terminates it (the
+    * strict-tree / meta-schema shapes). */
   private val MaxNoDescentUnroll = 2
 
   private def pushScope(scope: Vector[(SchemaDoc, String)], owner: SchemaDoc,

@@ -40,22 +40,59 @@ object RegexDialect {
       val c = pattern.charAt(i)
       var quantNow = false
       if (c == '\\') {
-        if (i + 1 < n) {
-          val e = pattern.charAt(i + 1)
-          if (!inClass && e >= '1' && e <= '9')
-            found += s"backreference \\$e"
-          else if (!inClass && e == 'k' && i + 2 < n && pattern.charAt(i + 2) == '<')
-            found += "named backreference \\k<...>"
-          else if (e == 'Z') found += "\\Z anchor (RE2 has only \\z)"
-          else if (e == 'G') found += "\\G anchor"
-          // Java-only whitespace/grapheme classes: RE2 (Go regexp/syntax)
-          // rejects these escapes outright ("invalid escape sequence")
-          else if (e == 'h' || e == 'H' || e == 'V')
-            found += s"\\$e horizontal/vertical-whitespace class (Java-only)"
-          else if (e == 'R') found += "\\R linebreak matcher (Java-only)"
-          else if (e == 'X') found += "\\X grapheme cluster (Java-only)"
+        if (i + 1 < n && pattern.charAt(i + 1) == 'Q') {
+          // \Q...\E literal quoting is supported by BOTH engines with the
+          // same meaning: nothing inside the quoted region is a construct
+          // (a literal "(?x)" or "{2000}" in there is legal everywhere), so
+          // the scan skips to the terminating \E — or the end of the
+          // pattern, where everything remaining is literal.
+          val qe = pattern.indexOf("\\E", i + 2)
+          i = if (qe < 0) n else qe + 2
+        } else {
+          if (i + 1 < n) {
+            val e = pattern.charAt(i + 1)
+            if (!inClass && e >= '1' && e <= '9')
+              found += s"backreference \\$e"
+            else if (!inClass && e == 'k' && i + 2 < n && pattern.charAt(i + 2) == '<')
+              found += "named backreference \\k<...>"
+            else if (e == 'Z') found += "\\Z anchor (RE2 has only \\z)"
+            else if (e == 'G') found += "\\G anchor"
+            // Java-only whitespace/grapheme classes: RE2 (Go regexp/syntax)
+            // rejects these escapes outright ("invalid escape sequence")
+            else if (e == 'h' || e == 'H' || e == 'V')
+              found += s"\\$e horizontal/vertical-whitespace class (Java-only)"
+            else if (e == 'R') found += "\\R linebreak matcher (Java-only)"
+            else if (e == 'X') found += "\\X grapheme cluster (Java-only)"
+            // Perl control escape: Go's parser has no \c at all
+            else if (e == 'c')
+              found += "\\cX control-char escape (Java-only; RE2 rejects)"
+            else if ((e == 'p' || e == 'P') && i + 2 < n &&
+                     pattern.charAt(i + 2) == '{') {
+              // \p{Name}: RE2 knows Unicode GENERAL CATEGORIES (L, Lu, …)
+              // and BARE script names (Greek, Inherited, …). Java's extras
+              // — java-prefixed methods (\p{javaLowerCase}), Is-prefixed
+              // script/binary aliases (\p{IsGreek}, \p{IsAlphabetic}),
+              // In-prefixed blocks (\p{InGreek}), and POSIX-style names
+              // (\p{Alpha}) — are all "invalid character class range" to
+              // Go. The In/Is checks require an uppercase third letter so
+              // real RE2 scripts like Inherited never false-flag.
+              val close = pattern.indexOf('}', i + 3)
+              if (close > 0) {
+                val name = pattern.substring(i + 3, close)
+                def up3 = name.length > 2 && name.charAt(2).isUpper
+                if (name.startsWith("java"))
+                  found += s"\\$e{$name} java-prefixed property (Java-only; RE2 rejects)"
+                else if (name.startsWith("Is") && up3)
+                  found += s"\\$e{$name} Is-prefixed alias (Java-only; RE2 uses bare script names)"
+                else if (name.startsWith("In") && up3)
+                  found += s"\\$e{$name} Unicode block (Java-only; RE2 has no block classes)"
+                else if (posixClasses.values.exists(_ == name))
+                  found += s"\\$e{$name} POSIX-style name (Java-only; RE2 knows categories/scripts)"
+              }
+            }
+          }
+          i += 2 // skip the escaped char entirely
         }
-        i += 2 // skip the escaped char entirely
       } else if (inClass) {
         if (c == ']') inClass = false
         i += 1
@@ -130,6 +167,24 @@ object RegexDialect {
     found.toList
   }
 
+  /** `\p{name}` body translated to the form Java's `Pattern` accepts:
+    * names Java already knows (general categories `L`/`Lu`, POSIX-style
+    * `Alpha`, `IsGreek`, …) pass through; a name Java rejects but accepts
+    * Is-prefixed (RE2's bare script names — `Greek` → `IsGreek`) is mapped;
+    * anything else passes through so the caller's `Pattern.compile` reports
+    * the real error. Probe results are memoized — script tables are static. */
+  private val propNameCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def javaPropertyName(name: String): String =
+    propNameCache.getOrElseUpdate(name, {
+      def compiles(nm: String): Boolean =
+        try { java.util.regex.Pattern.compile(s"\\p{$nm}"); true }
+        catch { case _: Exception => false }
+      if (compiles(name)) name
+      else if (compiles("Is" + name)) "Is" + name
+      else name
+    })
+
   /** Index just past the '}' if pattern(i)='{' starts a {m}/{m,}/{m,n}
     * quantifier, else -1. */
   private def braceQuantEnd(pattern: String, i: Int): Int = {
@@ -178,7 +233,39 @@ object RegexDialect {
     val n = pattern.length
     while (i < n) {
       val c = pattern.charAt(i)
-      if (c == '\\' && i + 1 < n && pattern.charAt(i + 1) == 'v') {
+      if (c == '\\' && i + 1 < n && pattern.charAt(i + 1) == 'Q') {
+        // \Q...\E: same literal-quoting semantics on both engines — copy the
+        // whole region verbatim (translating \v etc. INSIDE it would corrupt
+        // literal text)
+        val qe = pattern.indexOf("\\E", i + 2)
+        val stop = if (qe < 0) n else qe + 2
+        sb.append(pattern.substring(i, stop)); i = stop
+      }
+      else if (c == '\\' && i + 2 < n &&
+               (pattern.charAt(i + 1) == 'p' || pattern.charAt(i + 1) == 'P') &&
+               pattern.charAt(i + 2) == '{') {
+        // Two RE2↔Java \p{...} gaps, handled together:
+        //   - RE2's in-brace negation \p{^Name} (regexp/syntax Perl flavor)
+        //     is a parse error in Java; \P{Name} / \p{Name} is the exact
+        //     equivalent — flip the case of p.
+        //   - RE2 names Unicode SCRIPTS bare (\p{Greek}); Java requires the
+        //     Is prefix (\p{IsGreek}) and rejects the bare form — map names
+        //     Java doesn't know but accepts Is-prefixed.
+        val close = pattern.indexOf('}', i + 3)
+        if (close < 0) { sb.append(c); i += 1 }
+        else {
+          var pc = pattern.charAt(i + 1)
+          var name = pattern.substring(i + 3, close)
+          if (name.startsWith("^")) {
+            pc = if (pc == 'p') 'P' else 'p'
+            name = name.substring(1)
+          }
+          sb.append('\\').append(pc).append('{')
+            .append(javaPropertyName(name)).append('}')
+          i = close + 1
+        }
+      }
+      else if (c == '\\' && i + 1 < n && pattern.charAt(i + 1) == 'v') {
         // RE2's \v is the literal VERTICAL TAB; Java's \v is the
         // vertical-whitespace CLASS — silently different matches. \x0B is
         // the VT literal in both engines (valid inside and outside classes),

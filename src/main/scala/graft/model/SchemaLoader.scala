@@ -29,6 +29,36 @@ object SchemaLoader {
   /** Drop all loader hooks and loaded (non-bundled) documents — test hygiene. */
   def reset(): Unit = { loaders.clear(); docs.clear() }
 
+  /** Register the network `$ref` fetcher — the analogue of the reference's
+    * default URL loader (`pkg/types/schema/schema.go:1045-1052`: the loader
+    * receives the absolute retrieval URI and returns the document text; a
+    * failed fetch surfaces as an unresolved-ref compile error, never a
+    * partial schema). OFF unless a caller opts in: schema compilation must
+    * not reach the network by default — a 1000-executor job resolving refs
+    * mid-flight would hammer whatever host the schema names. Production use
+    * should pre-[[register]] documents or front this with a catalog;
+    * `allowedSchemes` keeps surprise `file:`/`jar:` URIs out. */
+  def enableHttpLoader(timeoutMs: Int = 5000,
+                       allowedSchemes: Set[String] = Set("http", "https")): Unit = {
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
+      .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+      .build()
+    addLoader { uri =>
+      val scheme =
+        try Option(new java.net.URI(uri).getScheme).map(_.toLowerCase)
+        catch { case _: java.net.URISyntaxException => None }
+      if (!scheme.exists(allowedSchemes.contains)) None
+      else try {
+        val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(uri))
+          .timeout(java.time.Duration.ofMillis(timeoutMs.toLong)).GET().build()
+        val resp = client.send(req,
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+      } catch { case _: java.io.IOException | _: InterruptedException => None }
+    }
+  }
+
   /** Pre-register a schema document under its retrieval URI. */
   def register(uri: String, jsonText: String): SchemaDoc = {
     val doc = SchemaParser.parseJValue(JsonMethods.parse(jsonText), uri)

@@ -393,12 +393,19 @@ private[snapshot] object FileStats {
                 // DATE/TIME/TIMESTAMP store epoch offsets — comparing those
                 // against logical-value bounds would silently skip files
                 // that contain matching rows. Only null (plain int) and
-                // explicit int annotations qualify; everything else gets no
-                // COL line and is never pruned on (always kept — safe).
+                // explicit SIGNED int annotations qualify — a UINT_64 raw
+                // value above Long.MaxValue compares as a negative signed
+                // long, which would wrongly prune files (Spark never writes
+                // unsigned parquet ints, but other writers can); everything
+                // else gets no COL line and is never pruned on (always
+                // kept — safe).
                 case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64
                   if fld.getLogicalTypeAnnotation == null ||
-                    fld.getLogicalTypeAnnotation
-                      .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation]
+                    (fld.getLogicalTypeAnnotation match {
+                      case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                        a.isSigned
+                      case _ => false
+                    })
                   => Some("I")
                 case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => Some("F")
                 case PrimitiveTypeName.BINARY

@@ -8,6 +8,8 @@ import org.apache.spark.sql.functions._
   * codegen'd, engine-portable (DuckDB oracle reproduces them). */
 object TextAnalysis {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger("graft.table.TextAnalysis")
+
   /** Stopword lists for the n-gram/stopword-hit language heuristic. */
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
@@ -364,13 +366,30 @@ object TextAnalysis {
     * when the boundary has no ties) and is fully deterministic — no
     * per-row ranking state anywhere.
     *
-    * Scale caveat: the histogram collect is O(distinct weights). Scores are
-    * 10^6-scaled sums, so heterogeneous corpora can approach one distinct
-    * weight per row; at 10^12 rows pick the threshold with
-    * `weights.stat.approxQuantile("w_scaled", ...)` instead and filter on
-    * it directly — approximate boundary, same zero-shuffle selection. */
-  def dsirSelectTopFraction(weights: DataFrame, fraction: Double): DataFrame = {
+    * Scale routing: the exact histogram collect is O(distinct weights), and
+    * scores are 10^6-scaled sums, so heterogeneous corpora can approach one
+    * distinct weight per row — a driver OOM at 10^12 rows. A limit-probe
+    * (same pattern as [[Dedup.embeddingNearDups]]) counts distinct weights
+    * up to `exactDistinctCap + 1`; above the cap the threshold switches to
+    * `approxQuantile(1 - fraction)` — approximate boundary (±`1e-4`
+    * relative rank), same zero-shuffle codegen'd selection, nothing
+    * driver-sized anywhere. */
+  def dsirSelectTopFraction(weights: DataFrame, fraction: Double,
+                            exactDistinctCap: Int = 1000000): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction $fraction out of (0,1]")
+    val distinctW = weights.select("w_scaled").distinct()
+    val probe = distinctW.limit(exactDistinctCap + 1).count()
+    if (probe > exactDistinctCap) {
+      // surface the exact→approximate switch (the boundary weight is now an
+      // approximate rank, so the kept fraction is ~fraction, not ≥ fraction)
+      logger.warn(
+        s"dsirSelectTopFraction: > $exactDistinctCap distinct weights; " +
+          "routing to approxQuantile threshold (approximate boundary). " +
+          "Raise exactDistinctCap only with driver memory to hold the histogram.")
+      val t = weights.stat
+        .approxQuantile("w_scaled", Array(1.0 - fraction), 1e-4)(0)
+      return weights.filter(col("w_scaled") >= t)
+    }
     val hist = weights.groupBy("w_scaled").count()
       .orderBy(col("w_scaled").desc).collect()
     val n = hist.map(_.getLong(1)).sum

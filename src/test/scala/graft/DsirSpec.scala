@@ -70,4 +70,21 @@ class DsirSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(kept == kept2)
   }
+
+  test("above the distinct-weight cap, selection routes to approxQuantile") {
+    // 10k rows, every weight distinct — with exactDistinctCap below that,
+    // the exact histogram (an O(distinct) driver collect) must NOT run; the
+    // approxQuantile threshold keeps ~fraction of rows instead. At 1e-4
+    // relative error on 10k distinct values the boundary rank is near-exact.
+    val w = spark.range(10000).select(col("id"), col("id").as("w_scaled"))
+    val kept = TextAnalysis.dsirSelectTopFraction(w, 0.25, exactDistinctCap = 100)
+      .select("id").as[Long].collect()
+    assert(kept.length >= 2300 && kept.length <= 2700)
+    // the kept set is the top of the weight order (threshold filter, no rank)
+    assert(kept.min >= 7000L)
+    // same inputs under the exact path agree on the boundary semantics
+    val exact = TextAnalysis.dsirSelectTopFraction(w, 0.25)
+      .select("id").as[Long].collect()
+    assert(exact.length == 2500 && exact.min == 7500L)
+  }
 }

@@ -145,6 +145,37 @@ class RefResolutionSpec extends SparkSpec with BeforeAndAfterEach {
     assert(violationsOf(schema) == Map("minimum" -> 1L))
   }
 
+  test("enableHttpLoader fetches a non-bundled URI over HTTP (opt-in, off by default)") {
+    // local HTTP fixture — no external network; the loader semantics match
+    // the reference's URL loader (schema.go:1045-1052): absolute retrieval
+    // URI in, document text out, fetch failure = unresolved ref
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/score.json",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = """{"type": "integer", "minimum": 0}""".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length.toLong)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.start()
+    try {
+      val uri = s"http://127.0.0.1:${server.getAddress.getPort}/score.json"
+      val schema =
+        s"""{"type": "object", "properties": {"score": {"$$ref": "$uri"}}}"""
+      // OFF by default: with no opt-in, even a reachable URL is unresolved
+      val e = intercept[IllegalArgumentException](violationsOf(schema))
+      assert(e.getMessage.contains("no registered loader"))
+      SchemaLoader.enableHttpLoader()
+      assert(violationsOf(schema) == Map("minimum" -> 1L))
+      // a 404 URI still resolves to "no loader could supply it"
+      val miss =
+        s"""{"type": "object", "properties":
+            {"score": {"$$ref": "http://127.0.0.1:${server.getAddress.getPort}/absent.json"}}}"""
+      val e2 = intercept[IllegalArgumentException](violationsOf(miss))
+      assert(e2.getMessage.contains("no registered loader"))
+    } finally server.stop(0)
+  }
+
   test("unresolvable remote ref without a loader errors like the reference") {
     val schema =
       """{"type": "object",

@@ -164,6 +164,57 @@ class RegexDialectCompileSpec extends SparkSpec {
     assert(re.matcher("abc123").matches() && !re.matcher("a b").matches())
   }
 
+  test("\\Q...\\E quoted regions suppress construct detection (RE2 supports quoting)") {
+    import RegexDialect.{re2Incompatibilities, toJava}
+    // a literal "(?x)" / "{2000}" / "a+" inside \Q...\E is plain text to
+    // BOTH engines — must not be flagged
+    assert(re2Incompatibilities("""\Q(?x){2000}a++\E$""").isEmpty)
+    assert(re2Incompatibilities("""x\Q\h\X(a)\1\E""").isEmpty)
+    // unterminated \Q quotes to end-of-pattern in both engines
+    assert(re2Incompatibilities("""a\Q(?u)""").isEmpty)
+    // constructs OUTSIDE the quoted region are still caught
+    assert(re2Incompatibilities("""\Qsafe\E(?=x)""").exists(_.contains("lookahead")))
+    // toJava must not rewrite literal text inside \Q...\E (\v, [[:alpha:]])
+    assert(toJava("""\Q\v[[:alpha:]](?P<x>\E""") === """\Q\v[[:alpha:]](?P<x>\E""")
+    val re = java.util.regex.Pattern.compile(toJava("""^\Q{2000}\E$"""))
+    assert(re.matcher("{2000}").matches())
+  }
+
+  test("Java-only \\p property names and \\cX are flagged; RE2 names are not") {
+    import RegexDialect.re2Incompatibilities
+    // java-prefixed, Is-alias, In-block, POSIX-style: Go rejects all four
+    assert(re2Incompatibilities("""\p{javaLowerCase}+""").exists(_.contains("java-prefixed")))
+    assert(re2Incompatibilities("""\p{IsGreek}""").exists(_.contains("Is-prefixed")))
+    assert(re2Incompatibilities("""\p{IsAlphabetic}""").exists(_.contains("Is-prefixed")))
+    assert(re2Incompatibilities("""\P{InGreek}""").exists(_.contains("block")))
+    assert(re2Incompatibilities("""\p{Alpha}""").exists(_.contains("POSIX-style")))
+    // ...including inside character classes
+    assert(re2Incompatibilities("""[\p{javaWhitespace}]""").exists(_.contains("java-prefixed")))
+    // RE2-legal: general categories, bare script names (Inherited starts
+    // with "In" + lowercase — must not false-flag), negated property
+    assert(re2Incompatibilities("""\p{L}\p{Lu}\pN""").isEmpty)
+    assert(re2Incompatibilities("""\p{Greek}\p{Inherited}""").isEmpty)
+    assert(re2Incompatibilities("""\p{^Greek}""").isEmpty)
+    // Go's parser has no \c escape at all
+    assert(re2Incompatibilities("""\cA""").exists(_.contains("control-char")))
+  }
+
+  test("toJava maps RE2 \\p forms Java rejects: \\p{^Name} negation, bare script names") {
+    import RegexDialect.toJava
+    // in-brace negation (RE2-only) -> case-flipped p/P
+    assert(toJava("""\P{^L}""") === """\p{L}""")
+    // bare script names (RE2-only) -> Java's Is-prefixed form
+    assert(toJava("""\p{Greek}""") === """\p{IsGreek}""")
+    assert(toJava("""\p{^Greek}""") === """\P{IsGreek}""")
+    // names Java already knows pass through untouched
+    assert(toJava("""\p{L}\p{Lu}\p{Alpha}\p{IsGreek}""") ===
+      """\p{L}\p{Lu}\p{Alpha}\p{IsGreek}""")
+    val re = java.util.regex.Pattern.compile(toJava("""^\p{^Greek}+$"""))
+    assert(re.matcher("abc").matches() && !re.matcher("αβγ").matches())
+    val re2 = java.util.regex.Pattern.compile(toJava("""^\p{Greek}+$"""))
+    assert(re2.matcher("αβγ").matches() && !re2.matcher("abc").matches())
+  }
+
   test("reference-legal RE2 patterns validate identically after translation") {
     // the reference compiles these with regexp.Compile (validator.go:1008);
     // Java would throw on (?P< and silently misparse [[:digit:]]

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
 case class StreamRow(doc_id: String, tokens: Array[Int], n_tok: Int,
                      source: String, ts: java.sql.Timestamp)
 
+case class DedupDoc(doc_id: Long, tokens: Array[Int], source: String)
+
 class StreamingSpec extends SparkSpec {
 
   private val uuidA = "0f8fad5b-d9cb-469f-a165-70867728950e"
@@ -203,6 +205,53 @@ class StreamingSpec extends SparkSpec {
       assert(replayed == 1L)
       assert(store.committedIds("seqs") == Seq(1L, 2L))
       assert(store.readAsOf("seqs").count() == 5L)
+    } finally q.stop()
+  }
+
+  test("streaming fuzzy dedup: per-batch pairs vs accumulated corpus equal the batch operator") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.snapshot.AppendSnapshotStore
+    import graft.table.Dedup
+    def doc(id: Long, toks: Seq[Int]) = DedupDoc(id, toks.toArray, s"src${id % 2}")
+    val base = Seq.range(1, 13)
+    val other = Seq.range(100, 112)
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val store = new AppendSnapshotStore(spark, s"$root/table")
+    val seed = Seq(doc(1, base), doc(2, other))
+    store.commitAppend("docs", seed.toDF(), "source")
+    Dedup.minhashSignatures(seed.toDF(), "doc_id", "tokens")
+      .write.parquet(s"$root/sigs/batch=seed")
+    val input = MemoryStream[DedupDoc]
+    val got = scala.collection.mutable.Buffer[(Long, Long, Double)]()
+    val q = graft.streaming.StreamingDedup.nearDupSink(
+      input.toDF(), store, "docs", s"$root/sigs", "doc_id", "tokens", "source",
+      minJaccard = 0.5,
+      onPairs = p => got.synchronized {
+        got ++= p.as[(Long, Long, Double)].collect()
+      })
+      .option("checkpointLocation", s"$root/ckpt").start()
+    try {
+      // batch 1: a near-copy of seed doc 1 + a brand-new doc
+      val b1 = Seq(doc(10, base :+ 13), doc(11, Seq.range(200, 212)))
+      input.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = got.synchronized(got.toSet)
+      assert(afterB1.map(p => (p._1, p._2)) == Set((1L, 10L)))
+      // batch 2: a copy of batch 1's doc 11 (fresh×earlier-batch) and a
+      // copy of seed doc 1 (pairs with BOTH the seed and batch 1's near-copy)
+      val b2 = Seq(doc(20, Seq.range(200, 212)), doc(21, base))
+      input.addData(b2: _*); q.processAllAvailable()
+      val finalPairs = got.synchronized(got.toSet)
+      assert(finalPairs.map(p => (p._1, p._2)) ==
+        Set((1L, 10L), (11L, 20L), (1L, 21L), (10L, 21L)))
+      // the stream's union equals the batch incremental operator run once
+      // over the same prior/fresh split — micro-batch boundaries invisible
+      val expected = Dedup.incrementalLshPairs(seed.toDF(), (b1 ++ b2).toDF(),
+        "doc_id", "tokens", minJaccard = 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(finalPairs == expected)
+      // every streamed batch is committed: the corpus accumulated
+      assert(store.readAsOf("docs").count() == 6L)
     } finally q.stop()
   }
 
