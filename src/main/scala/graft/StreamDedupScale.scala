@@ -49,11 +49,12 @@ object StreamDedupScale {
     Dedup.minhashSignatures(seed, "doc_id", "tokens")
       .write.parquet(s"$root/sigs/batch=seed")
 
-    // fresh stream: each batch has its own unique docs plus ~1% copies of
-    // SEED docs (cross-batch near-dups against the accumulated corpus)
+    // fresh stream: each batch has batchRows unique docs (synthesize's
+    // doc_id derives from (row, seed), so a per-batch seed already makes
+    // ids batch-unique) plus ~1% copies of SEED docs under fresh ids —
+    // cross-batch near-dups against the accumulated corpus
     val freshAll = (0 until nBatches).map { b =>
       val uniq = docs(batchRows, 100L + b, -1)
-        .filter(pmod(col("doc_id"), lit(nBatches)) === b)
       val copies = seed.filter(pmod(col("doc_id"), lit(100)) === b % 100)
         .limit((batchRows / 100).toInt)
         .select((-col("doc_id") - 1000000000L * (b + 1)).as("doc_id"),

@@ -40,14 +40,20 @@ object RegexDialect {
       val c = pattern.charAt(i)
       var quantNow = false
       if (c == '\\') {
-        if (i + 1 < n && pattern.charAt(i + 1) == 'Q') {
-          // \Q...\E literal quoting is supported by BOTH engines with the
-          // same meaning: nothing inside the quoted region is a construct
-          // (a literal "(?x)" or "{2000}" in there is legal everywhere), so
-          // the scan skips to the terminating \E — or the end of the
-          // pattern, where everything remaining is literal.
+        if (!inClass && i + 1 < n && pattern.charAt(i + 1) == 'Q') {
+          // Top-level \Q...\E literal quoting is supported by BOTH engines
+          // with the same meaning: nothing inside the quoted region is a
+          // construct (a literal "(?x)" or "{2000}" in there is legal
+          // everywhere), so the scan skips to the terminating \E — or the
+          // end of the pattern, where everything remaining is literal.
+          // INSIDE a character class the engines diverge (handled below):
+          // Java still honors quoting there; Go's parseClassChar has no \Q
+          // and errors.
           val qe = pattern.indexOf("\\E", i + 2)
           i = if (qe < 0) n else qe + 2
+        } else if (inClass && i + 1 < n && pattern.charAt(i + 1) == 'Q') {
+          found += "\\Q...\\E inside a character class (Java-only; RE2 rejects)"
+          i += 2
         } else {
           if (i + 1 < n) {
             val e = pattern.charAt(i + 1)

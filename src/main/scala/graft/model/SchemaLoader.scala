@@ -26,8 +26,10 @@ object SchemaLoader {
   /** Register a loader hook consulted for unknown URIs. */
   def addLoader(l: Loader): Unit = loaders.add(l)
 
+  private val httpLoaderEnabled = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Drop all loader hooks and loaded (non-bundled) documents — test hygiene. */
-  def reset(): Unit = { loaders.clear(); docs.clear() }
+  def reset(): Unit = { loaders.clear(); docs.clear(); httpLoaderEnabled.set(false) }
 
   /** Register the network `$ref` fetcher — the analogue of the reference's
     * default URL loader (`pkg/types/schema/schema.go:1045-1052`: the loader
@@ -40,6 +42,10 @@ object SchemaLoader {
     * `allowedSchemes` keeps surprise `file:`/`jar:` URIs out. */
   def enableHttpLoader(timeoutMs: Int = 5000,
                        allowedSchemes: Set[String] = Set("http", "https")): Unit = {
+    // idempotent: a second enable (two components both opting in) must not
+    // stack loader closures — that would fetch every unresolvable URI once
+    // per registration and leak an HttpClient selector thread per call
+    if (!httpLoaderEnabled.compareAndSet(false, true)) return
     val client = java.net.http.HttpClient.newBuilder()
       .connectTimeout(java.time.Duration.ofMillis(timeoutMs.toLong))
       .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
@@ -55,7 +61,14 @@ object SchemaLoader {
         val resp = client.send(req,
           java.net.http.HttpResponse.BodyHandlers.ofString())
         if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
-      } catch { case _: java.io.IOException | _: InterruptedException => None }
+      } catch {
+        case _: java.io.IOException => None
+        case _: InterruptedException =>
+          // preserve the cancellation signal — swallowing it would turn a
+          // job cancellation into a misleading unresolved-ref error AND
+          // clear the flag for every later blocking call on this thread
+          Thread.currentThread().interrupt(); None
+      }
     }
   }
 

@@ -33,6 +33,16 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * restart — downstream sinks should be idempotent on (id_a, id_b), or use
   * the committed store + batch incremental operator to reconcile.
   *
+  * Hot-bucket caveat: the `maxBucket` guard is evaluated per MICRO-BATCH
+  * view (this batch + accumulated signatures), so a band bucket that is
+  * under the cap mid-stream but over it in the final corpus emits pairs the
+  * one-shot batch operator would drop (and vice versa for a bucket already
+  * hot at seed time). The stream-union ≡ batch-operator equivalence is
+  * exact when no bucket crosses `maxBucket` between any batch view and the
+  * full-corpus view — size `maxBucket` well above the expected bucket
+  * population (as the batch operator already requires for recall), or
+  * reconcile against the batch operator on the committed store.
+  *
   * Scale shape (unchanged from the batch operator): the band join carries
   * only (band, key, id, fresh-flag), hot buckets are capped, the corpus
   * payload never shuffles, and per-batch work is proportional to the

@@ -368,17 +368,19 @@ object TextAnalysis {
     *
     * Scale routing: the exact histogram collect is O(distinct weights), and
     * scores are 10^6-scaled sums, so heterogeneous corpora can approach one
-    * distinct weight per row — a driver OOM at 10^12 rows. A limit-probe
-    * (same pattern as [[Dedup.embeddingNearDups]]) counts distinct weights
-    * up to `exactDistinctCap + 1`; above the cap the threshold switches to
-    * `approxQuantile(1 - fraction)` — approximate boundary (±`1e-4`
-    * relative rank), same zero-shuffle codegen'd selection, nothing
-    * driver-sized anywhere. */
+    * distinct weight per row — a driver OOM at 10^12 rows. The probe is an
+    * `approx_count_distinct` aggregate (HLL partial merge — no shuffle of
+    * distinct rows, unlike a `distinct().limit()` probe, whose exchange
+    * would move nearly the whole dataset exactly in the heterogeneous case
+    * the cap exists for; HLL's ~2% error is noise against the cap); above
+    * the cap the threshold switches to `approxQuantile(1 - fraction)` —
+    * approximate boundary (±`1e-4` relative rank), same zero-shuffle
+    * codegen'd selection, nothing driver-sized anywhere. */
   def dsirSelectTopFraction(weights: DataFrame, fraction: Double,
                             exactDistinctCap: Int = 1000000): DataFrame = {
     require(fraction > 0 && fraction <= 1, s"fraction $fraction out of (0,1]")
-    val distinctW = weights.select("w_scaled").distinct()
-    val probe = distinctW.limit(exactDistinctCap + 1).count()
+    val probe = weights
+      .agg(approx_count_distinct("w_scaled").as("d")).collect()(0).getLong(0)
     if (probe > exactDistinctCap) {
       // surface the exact→approximate switch (the boundary weight is now an
       // approximate rank, so the kept fraction is ~fraction, not ≥ fraction)

@@ -174,6 +174,9 @@ class RegexDialectCompileSpec extends SparkSpec {
     assert(re2Incompatibilities("""a\Q(?u)""").isEmpty)
     // constructs OUTSIDE the quoted region are still caught
     assert(re2Incompatibilities("""\Qsafe\E(?=x)""").exists(_.contains("lookahead")))
+    // INSIDE a character class the engines diverge: Java honors quoting
+    // there, Go's parseClassChar has no \Q and errors — flagged
+    assert(re2Incompatibilities("""[\Qab\E]""").exists(_.contains("character class")))
     // toJava must not rewrite literal text inside \Q...\E (\v, [[:alpha:]])
     assert(toJava("""\Q\v[[:alpha:]](?P<x>\E""") === """\Q\v[[:alpha:]](?P<x>\E""")
     val re = java.util.regex.Pattern.compile(toJava("""^\Q{2000}\E$"""))
