@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * seeded random schema×instance sweep is a genuine two-implementation
   * check — the same role the DuckDB oracle plays for the dataset operators.
   *
-  * 800 seeded (schema, instance) pairs (two independent seeds) over the object-keyword grammar
+  * 1,200 seeded (schema, instance) pairs (three independent seeds) over the object-keyword grammar
   * (properties / patternProperties / additionalProperties / propertyNames /
   * required / dependentRequired / min-maxProperties / unevaluatedProperties
   * / allOf / anyOf / oneOf / not, with integer leaf constraints). Any
@@ -104,10 +104,10 @@ class StructMapDifferentialSpec extends SparkSpec {
     } catch { case e: Exception => Left(e.getClass.getSimpleName + ": " + e.getMessage) }
   }
 
-  test("struct-typed and map-typed object validation agree (2 seeds x 400 pairs)") {
+  test("struct-typed and map-typed object validation agree (3 seeds x 400 pairs)") {
     val disagreements = scala.collection.mutable.Buffer[String]()
     var checked = 0
-    Seq(20260821L, 424242L).foreach { seed =>
+    Seq(20260821L, 424242L, 77055L).foreach { seed =>
       val r = new scala.util.Random(seed)
       (1 to 400).foreach { i =>
         val s = objSchema(r, depth = 2)
@@ -128,7 +128,7 @@ class StructMapDifferentialSpec extends SparkSpec {
         }
       }
     }
-    info(s"$checked/800 pairs compared")
+    info(s"$checked/1200 pairs compared")
     assert(disagreements.isEmpty,
       s"\n${disagreements.size} disagreements:\n${disagreements.take(5).mkString("\n")}")
   }
