@@ -117,7 +117,15 @@ object ConstraintCompiler {
     node match {
       case BoolSchema(true) => Compiled(lit(true), emptyViolations)
       case BoolSchema(false) =>
-        simple(lit(false), "$bool", kwLoc, instLoc, lit("schema is false"))
+        val raw = simple(lit(false), "$bool", kwLoc, instLoc, lit("schema is false"))
+        // table semantics: an absent (null) instance satisfies even `false`
+        // — the keyword only constrains PRESENT values, same skip the
+        // ObjSchema branch below applies (a banned optional property
+        // {"legacy": false} must not fail rows that lack it)
+        if (ctx.opts.nullIsAbsent)
+          Compiled(target.isNull || raw.valid,
+            when(target.isNull, emptyViolations).otherwise(raw.violations))
+        else raw
       case s: ObjSchema =>
         // a nested `$id` opens a new resource in the dynamic scope even when
         // entered by direct nesting rather than by reference
@@ -255,7 +263,13 @@ object ConstraintCompiler {
             ifCond.map(c => condCov(branchCov(sub, ctx, target, st), !c)).getOrElse(Map.empty)
           case DependentSchemasK(deps) =>
             deps.filter(d => st.fieldNames.contains(d._1)).map { case (key, sub) =>
-              condCov(branchCov(sub, ctx, target, st), target.getField(key).isNotNull)
+              // presence gate matches the keyword's own compile: conformance
+              // structs carry exactly the instance's keys, so a null-valued
+              // trigger key is PRESENT and its schema's annotations count
+              val present =
+                if (ctx.conformance) lit(true)
+                else target.getField(key).isNotNull
+              condCov(branchCov(sub, ctx, target, st), present)
             }.reduceOption(mergeCov).getOrElse(Map.empty)
           case RefK(ref) if !ctx.refStack.contains(ref) =>
             propCoverage(ctx.doc.resolveRefNode(ref),
@@ -299,8 +313,12 @@ object ConstraintCompiler {
                   concat(instLoc, lit(s"/${escapePtr(f.name)}")),
                   lit(s"unevaluated property \"${f.name}\""))
               else inner.violations
-            Some(Compiled(child.isNull || covered || inner.valid,
-              when(child.isNull || covered || inner.valid, emptyViolations).otherwise(viol)))
+            // table mode: null field = absent (skip); conformance: a struct
+            // field is a PRESENT property whose JSON-null value the
+            // unevaluated subschema must judge
+            val absent = if (ctx.conformance) lit(false) else child.isNull
+            Some(Compiled(absent || covered || inner.valid,
+              when(absent || covered || inner.valid, emptyViolations).otherwise(viol)))
         }
       }
       and(checks)
@@ -400,6 +418,12 @@ object ConstraintCompiler {
               .getOrElse(cov)
           case RefK(ref) if !ctx.refStack.contains(ref) =>
             mergeItemCov(cov, itemCoverage(ctx.doc.resolveRefNode(ref),
+              ctx.copy(refStack = ctx.refStack + ref), target, dt))
+          case DynamicRefK(ref) if !ctx.refStack.contains(ref) =>
+            // same in-place-applicator treatment as RefK (mirrors
+            // propCoverage/mapKeyCoverage): prefixItems/contains coverage
+            // contributed through a $dynamicRef counts for unevaluatedItems
+            mergeItemCov(cov, itemCoverage(ctx.doc.resolveDynamicRefNode(ref),
               ctx.copy(refStack = ctx.refStack + ref), target, dt))
           case _ => cov
         }
@@ -564,11 +588,16 @@ object ConstraintCompiler {
             else if (et == StringType && ts.contains("string")) Some(lit(true))
             else if (et == BooleanType && ts.contains("boolean")) Some(lit(true))
             else None // e.g. `integer` over doubles needs per-element residue
-          case MinimumK(v) if numeric => Some(coalesce(array_min(target) >= lit(v), lit(true)))
-          case MaximumK(v) if numeric => Some(coalesce(array_max(target) <= lit(v), lit(true)))
-          case ExclusiveMinimumK(v) if numeric =>
+          // bounds via array_min/max only for INTEGRAL elements: float/double
+          // arrays can carry NaN, which Spark orders above every double
+          // (array_max([NaN]) <= hi is false) while the general path's
+          // nanPasses guard deliberately passes NaN for bound keywords — the
+          // fast path must not flip that verdict, so floats take the HOF path
+          case MinimumK(v) if integral => Some(coalesce(array_min(target) >= lit(v), lit(true)))
+          case MaximumK(v) if integral => Some(coalesce(array_max(target) <= lit(v), lit(true)))
+          case ExclusiveMinimumK(v) if integral =>
             Some(coalesce(array_min(target) > lit(v), lit(true)))
-          case ExclusiveMaximumK(v) if numeric =>
+          case ExclusiveMaximumK(v) if integral =>
             Some(coalesce(array_max(target) < lit(v), lit(true)))
           case _ => None
         }
@@ -624,10 +653,13 @@ object ConstraintCompiler {
             val inner = compileNode(ap.schema, ctx.descend, child, fdt,
               s"$kwLoc/additionalProperties",
               concat(instLoc, lit(s"/${escapePtr(n)}")))
-            // only constrains *present* fields; message mirrors
-            // "unknown property %q" rewrite (validator.go:613-619)
-            Compiled(child.isNull || inner.valid,
-              when(child.isNull || inner.valid, emptyViolations)
+            // only constrains *present* fields (table mode: null = absent;
+            // conformance mode: a struct field IS present and a JSON-null
+            // value must be validated by the subschema, like RequiredK);
+            // message mirrors "unknown property %q" (validator.go:613-619)
+            val absent = if (ctx.conformance) lit(false) else child.isNull
+            Compiled(absent || inner.valid,
+              when(absent || inner.valid, emptyViolations)
                 .otherwise(when(lit(isFalseSchema(ap.schema)),
                   mkViolation("additionalProperties", s"$kwLoc/additionalProperties",
                     concat(instLoc, lit(s"/${escapePtr(n)}")), lit(s"unknown property \"$n\"")))
@@ -643,15 +675,23 @@ object ConstraintCompiler {
           val inner = compileNode(sub, ctx.descend, v, vt,
             s"$kwLoc/properties/${escapePtr(name)}",
             concat(instLoc, lit(s"/${escapePtr(name)}")))
-          Compiled(v.isNull || inner.valid,
-            when(v.isNull, emptyViolations).otherwise(inner.violations))
+          // table mode: a null value = absent; conformance: presence is key
+          // membership, and a present key's JSON-null value is validated
+          val skip =
+            if (ctx.conformance) target.isNull || !map_contains_key(target, lit(name))
+            else v.isNull
+          Compiled(skip || inner.valid,
+            when(skip, emptyViolations).otherwise(inner.violations))
         }
         val patChecks = patPropsK.toSeq.flatMap(_.pats).map { case (pat, sub) =>
           val badKeys = filter(map_keys(target), k =>
             k.rlike(RegexDialect.toJava(pat)) &&
               !compileNode(sub, ctx.descend, element_at(target, k), vt,
               s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc).valid)
-          simple(size(badKeys) === 0, "patternProperties",
+          // target.isNull guard: a null map is a non-object instance, which
+          // object keywords skip (size(null) is -1, NOT 0 — without the
+          // guard a null instance would fire a violation)
+          simple(target.isNull || size(badKeys) === 0, "patternProperties",
             s"$kwLoc/patternProperties/${escapePtr(pat)}", instLoc,
             concat(lit("map values failing pattern schema at keys: "),
               array_join(badKeys, ",")))
@@ -665,7 +705,7 @@ object ConstraintCompiler {
           val badKeys = filter(uncoveredKeys, k =>
             !compileNode(ap.schema, ctx.descend, element_at(target, k), vt,
               s"$kwLoc/additionalProperties", instLoc).valid)
-          simple(size(badKeys) === 0, "additionalProperties",
+          simple(target.isNull || size(badKeys) === 0, "additionalProperties",
             s"$kwLoc/additionalProperties", instLoc,
             concat(lit("unknown properties: "), array_join(badKeys, ",")))
         }
@@ -711,6 +751,12 @@ object ConstraintCompiler {
     }
     def stringPred(f: Column => Column): Option[Column] = dt match {
       case StringType => Some(target.isNull || f(target))
+      // TypeK maps these to JSON "string": string keywords apply to the same
+      // canonical text form const/enum compare against (jvEq) — otherwise
+      // `type:"string"` matches a date column but minLength/pattern silently
+      // skip it
+      case DateType | TimestampType | TimestampNTZType | BinaryType =>
+        Some(target.isNull || f(target.cast(StringType)))
       case _ => None
     }
     def arrayPred(f: Column => Column): Option[Column] = dt match {
@@ -790,15 +836,24 @@ object ConstraintCompiler {
       case MaxItemsK(n) => arrayPred(size(_) <= n.toInt).map(p =>
         simple(p, "maxItems", loc("maxItems"), instLoc, lit(s"array has more than $n items")))
       case UniqueItemsK(true) =>
-        // array_distinct distinguishes -0.0 from 0.0; the reference's float64
-        // equality does not (JSON -0 == 0). Adding +0.0 normalizes the sign
-        // of zero (IEEE: -0.0 + 0.0 = +0.0) without changing any other value.
+        // Float equality must match the reference's Go-map semantics
+        // (validator.go:1087-1096, map[any]bool over comparable elements):
+        //  - -0.0 == 0.0 (duplicates) — array_distinct distinguishes them,
+        //    so adding +0.0 normalizes the sign (IEEE: -0.0 + 0.0 = +0.0);
+        //  - NaN != NaN (a NaN map key never collides, even with itself) —
+        //    array_distinct COLLAPSES NaNs, so they are dropped from the
+        //    duplicate check entirely (they cannot form duplicates). Nulls
+        //    stay in (they dedupe like any value, unchanged behavior).
         val dedupInput: Column => Column = dt match {
           case ArrayType(FloatType | DoubleType, _) =>
-            a => transform(a, x => x + lit(0.0d))
+            a => transform(filter(a, x => coalesce(!isnan(x), lit(true))),
+              x => x + lit(0.0d))
           case _ => identity
         }
-        arrayPred(a => size(a) === size(array_distinct(dedupInput(a)))).map(p =>
+        arrayPred { a =>
+          val ci = dedupInput(a)
+          size(ci) === size(array_distinct(ci))
+        }.map(p =>
           simple(p, "uniqueItems", loc("uniqueItems"), instLoc, lit("array items are not unique")))
       case UniqueItemsK(false) => None
 
@@ -878,14 +933,23 @@ object ConstraintCompiler {
 
       case PropertyNamesK(sub) => dt match {
         case st: StructType =>
-          // static: check each field name (a string literal) — constant folds
+          // static: check each field name (a string literal) — constant folds.
+          // Table mode additionally gates on per-row PRESENCE: a badly-named
+          // OPTIONAL field only fails rows where it is non-null (present) —
+          // the keyword constrains the names of properties the row HAS, not
+          // the schema-declared superset.
           val bad = st.fieldNames.filterNot { n =>
             // driver-side evaluation of the name predicate via a tiny local
             // check: compile against lit(name) then constant-fold by hand for
             // the common cases; fall back to accepting (names are static)
             staticNameOk(sub, n, ctx)
           }
-          Some(simple(lit(bad.isEmpty), "propertyNames", loc("propertyNames"), instLoc,
+          val badPresent: Column =
+            if (conf) lit(bad.nonEmpty) // conformance: struct field ⇒ present
+            else bad.map(n => target.getField(n).isNotNull)
+              .reduceOption(_ || _).getOrElse(lit(false))
+          Some(simple(target.isNull || !badPresent, "propertyNames",
+            loc("propertyNames"), instLoc,
             lit(s"property names not allowed: ${bad.mkString(",")}")))
         case MapType(StringType, _, _) =>
           val p = forall(map_keys(target), k =>
@@ -1050,6 +1114,12 @@ object ConstraintCompiler {
     case (JNull, _) => target.isNull
     case (JBool(b), BooleanType) => target <=> lit(b)
     case (JString(s), StringType) => target <=> lit(s)
+    // TypeK maps these column types to JSON "string" (their canonical text
+    // form); const/enum must agree or string constants become unsatisfiable
+    // on date/timestamp/binary columns. Canonical text = Spark's CAST
+    // rendering (dates ISO yyyy-MM-dd; timestamps space-separated).
+    case (JString(s), DateType | TimestampType | TimestampNTZType | BinaryType) =>
+      target.cast(StringType) <=> lit(s)
     case (JInt(_) | JLong(_) | JDouble(_) | JDecimal(_), _: NumericType) =>
       target.cast(DoubleType) <=> lit(jvNum(v))
     case (JArray(items), ArrayType(et, _)) =>
@@ -1070,6 +1140,14 @@ object ConstraintCompiler {
         }.reduceOption(_ && _).getOrElse(lit(true))
         target.isNotNull && fieldsEq
       }
+    case (o: JObject, MapType(StringType, vt, _)) =>
+      // runtime-keyed objects: exactly the literal's keys, each deep-equal
+      // (map_contains_key distinguishes a JSON-null member from a missing key)
+      val sameSize = size(map_keys(target)) === o.obj.length
+      val fieldsEq = o.obj.map { case (k, fv) =>
+        map_contains_key(target, lit(k)) && jvEq(element_at(target, lit(k)), vt, fv)
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      target.isNotNull && sameSize && fieldsEq
     case _ => lit(false) // cross-type: never deep-equal
   }
 

@@ -25,21 +25,30 @@ object Formats {
 
   /** Calendar-valid date (leap years included) — `try_to_timestamp` returns
     * null on invalid combinations (ANSI-safe), giving exact day-in-month
-    * semantics. */
+    * semantics. `dateOk` assumes the shape already matched (date-time reuses
+    * it on the regex-validated date substring without a second shape rlike);
+    * `validDate` is the standalone shape+semantics form. */
+  private def dateOk(c: Column): Column =
+    try_to_timestamp(c, lit("yyyy-MM-dd")).isNotNull
   private def validDate(c: Column): Column =
-    c.rlike(s"^$dateRe$$") && try_to_timestamp(c, lit("yyyy-MM-dd")).isNotNull
+    c.rlike(s"^$dateRe$$") && dateOk(c)
 
-  private def validTime(c: Column): Column = {
+  /** Field semantics for a string whose SHAPE already matched `timeRe` —
+    * split out so callers that have run the shape regex (the registry's
+    * date-time composite, `validTime` itself) evaluate it exactly once. */
+  private def timeFieldsOk(c: Column): Column = {
     val h = substring(c, 1, 2).cast("int")
     val m = substring(c, 4, 2).cast("int")
     val s = substring(c, 7, 2).cast("int")
     // offset hours/min appear at the tail; bound-check them via regex capture
     val offOk = c.rlike("([Zz]|[+-](0\\d|1[0-9]|2[0-3]):[0-5]\\d)$")
-    c.rlike(s"^$timeRe$$") && h <= 23 && m <= 59 && s <= 60 && offOk &&
+    h <= 23 && m <= 59 && s <= 60 && offOk &&
       // leap second only valid at 23:59:60 UTC-equivalent (time.go:193-204):
       // reference checks (hh*60+mm + offset) ≡ 23:59 UTC when ss==60.
       (s < 60 || leapSecondOk(c, h, m))
   }
+  private def validTime(c: Column): Column =
+    c.rlike(s"^$timeRe$$") && timeFieldsOk(c)
 
   /** ss==60 leap-second rule — EXACT transcription of the reference's check
     * (time.go:157-204), which is NOT a mod-1440 UTC test: for `Z` the local
@@ -248,13 +257,16 @@ object Formats {
     "ipv4" -> (c => c.rlike(ipv4Re)),
     "ipv6" -> (c => c.rlike(ipv6Re) && !c.contains("%")),
     "date" -> validDate,
-    "time" -> (c => c.rlike(s"^$timeRe$$") && validTime(c)),
+    "time" -> validTime,
     "date-time" -> { c =>
       val datePart = substring(c, 1, 10)
       val timePart = substring(c, 12, 1000)
       // separator is strictly T/t (time.go:37) — RFC3339's space-separator
-      // note does not apply; the reference rejects "date time"
-      c.rlike(s"^${dateRe}[Tt]$timeRe$$") && validDate(datePart) && validTime(timePart)
+      // note does not apply; the reference rejects "date time". The combined
+      // shape regex already anchors both substrings, so only the semantic
+      // halves (calendar validity, field bounds) run on them — one shape
+      // regex per row, not three.
+      c.rlike(s"^${dateRe}[Tt]$timeRe$$") && dateOk(datePart) && timeFieldsOk(timePart)
     },
     "duration" -> validDuration,
     // no overall-length cap: the reference defers entirely to net/mail,

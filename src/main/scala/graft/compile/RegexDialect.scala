@@ -100,8 +100,17 @@ object RegexDialect {
           i += 2 // skip the escaped char entirely
         }
       } else if (inClass) {
-        if (c == ']') inClass = false
-        i += 1
+        if (c == '[' && i + 1 < n && pattern.charAt(i + 1) == ':') {
+          // POSIX class [[:alpha:]]: its closing "]" belongs to the ":]"
+          // token, not the enclosing class — skipping to ":]" keeps
+          // inClass accurate (otherwise literal chars after the POSIX
+          // class would be scanned as top-level syntax and false-flag)
+          val ce = pattern.indexOf(":]", i + 2)
+          i = if (ce < 0) i + 1 else ce + 2
+        } else {
+          if (c == ']') inClass = false
+          i += 1
+        }
       } else c match {
         case '[' =>
           inClass = true

@@ -36,7 +36,7 @@ class ConformanceSpec extends SparkSpec {
       "/conformance/cases20.json", "/conformance/cases21.json",
       "/conformance/cases22.json", "/conformance/cases23.json",
       "/conformance/cases24.json", "/conformance/cases25.json",
-      "/conformance/cases26.json").flatMap { f =>
+      "/conformance/cases26.json", "/conformance/cases27.json").flatMap { f =>
       val JArray(gs) = read(f): @unchecked
       gs
     }
