@@ -2445,8 +2445,8 @@ object SparkEntry {
              CASE WHEN b.enum_csv IS NULL THEN NULL
                   WHEN c.enum_csv IS NULL THEN '<domain exceeded cap>'
                   ELSE (SELECT string_agg(DISTINCT v, '|' ORDER BY v)
-                        FROM unnest(string_split(c.enum_csv, '|')) AS t(v)
-                        WHERE NOT list_contains(string_split(b.enum_csv, '|'), v))
+                        FROM unnest(string_split(c.enum_csv, chr(31))) AS t(v)
+                        WHERE NOT list_contains(string_split(b.enum_csv, chr(31)), v))
              END AS new_enum_values
            FROM cur c JOIN base b USING (col_name)"""
     )
@@ -2466,7 +2466,7 @@ object SparkEntry {
             NULL::DOUBLE, NULL::DOUBLE,
             min(length($c))::BIGINT, max(length($c))::BIGINT,
             CASE WHEN count(DISTINCT $c) <= 64
-                 THEN string_agg(DISTINCT $c, '|' ORDER BY $c)
+                 THEN string_agg(DISTINCT $c, chr(31) ORDER BY $c)
                  ELSE NULL END FROM documents WHERE $where"""
     Seq(num("doc_id"), str("text"), str("lang"), str("source"),
         num("n_chars")).mkString("\nUNION ALL\n")

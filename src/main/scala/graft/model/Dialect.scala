@@ -18,7 +18,7 @@ import org.json4s._
 final case class Dialect(
     name: String,
     uris: Set[String],
-    overrides: (String, JValue, String) => Option[Keyword])
+    overrides: (String, JValue, String, JObject) => Option[Keyword])
 
 object Dialects {
   private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.model.Dialects")
@@ -29,19 +29,25 @@ object Dialects {
   val draft202012: Dialect = Dialect(
     "draft-2020-12",
     Set("https://json-schema.org/draft/2020-12/schema"),
-    (_, _, _) => None)
+    (_, _, _, _) => None)
 
   /** Draft-7: array-form `items` is the per-position schema list (2020-12
     * `prefixItems`) and `additionalItems` is the rest-of-array schema
-    * (2020-12 `items`); `dependencies` parses natively via the shared chain. */
+    * (2020-12 `items`); `dependencies` parses natively via the shared chain.
+    * `additionalItems` only has meaning when the SIBLING `items` is the
+    * array form — with schema-form (or absent) `items` the draft-7 spec
+    * ignores it, so mapping it to ItemsK there would shadow (or invent) the
+    * real rest-of-array schema. */
   lazy val draft7: Dialect = Dialect(
     "draft-7",
     Set("http://json-schema.org/draft-07/schema"),
-    (k, v, base) => (k, v) match {
+    (k, v, base, siblings) => (k, v) match {
       case ("items", JArray(xs)) =>
         Some(PrefixItemsK(xs.map(x => SchemaParser.parseNode(x, base, draft7)).toVector))
-      case ("additionalItems", s) =>
-        Some(ItemsK(SchemaParser.parseNode(s, base, draft7)))
+      case ("additionalItems", s) => (siblings \ "items") match {
+        case JArray(_) => Some(ItemsK(SchemaParser.parseNode(s, base, draft7)))
+        case _ => Some(AnnotationK("additionalItems", s)) // ignored per spec
+      }
       case _ => None
     })
 

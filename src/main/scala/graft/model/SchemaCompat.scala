@@ -35,6 +35,13 @@ object SchemaCompat {
   case object Tightened extends Direction
   case object Relaxed extends Direction
   case object Info extends Direction
+  /** The classifier cannot prove monotonicity in EITHER direction. Forces a
+    * rescan like [[Tightened]], but — critically — is NEVER flipped by a
+    * `not` context: flipping an unprovable "Tightened" to "Relaxed" under
+    * negation would let `canPromoteWithoutRescan` skip a rescan on a change
+    * it cannot reason about (e.g. `{"not":{"type":"string"}}` →
+    * `{"not":{"type":"integer"}}` genuinely tightens). */
+  case object Incomparable extends Direction
 
   final case class Change(path: String, keyword: String, oldValue: Option[String],
                           newValue: Option[String], direction: Direction,
@@ -43,7 +50,7 @@ object SchemaCompat {
   /** True iff no change tightens — old verdicts remain valid under the new
     * schema, so promotion needs no data rescan. */
   def canPromoteWithoutRescan(changes: Seq[Change]): Boolean =
-    !changes.exists(_.direction == Tightened)
+    !changes.exists(c => c.direction == Tightened || c.direction == Incomparable)
 
   def diff(oldJson: String, newJson: String): Seq[Change] =
     diffSchemas(JsonMethods.parse(oldJson), JsonMethods.parse(newJson), "", flip = false)
@@ -69,6 +76,8 @@ object SchemaCompat {
   private def render(v: JValue): String = JsonMethods.compact(JsonMethods.render(v))
 
   private def dir(flip: Boolean, d: Direction): Direction = d match {
+    // only PROVABLY-monotone classifications flip under negation;
+    // Incomparable/Info pass through
     case Tightened if flip => Relaxed
     case Relaxed if flip => Tightened
     case other => other
@@ -113,9 +122,22 @@ object SchemaCompat {
         case (JNothing, JNothing) => None
         case (c, JNothing) => Some(Set(c))
         case (JNothing, JArray(xs)) => Some(xs.toSet)
-        case _ => Some(Set.empty) // both present: unsatisfiable-ish, compare as opaque
+        case _ => None // both present: handled as opaque below, never as a set
       }
-      val valueChange: Seq[Change] = (valueSet(oo), valueSet(no)) match {
+      // const AND enum jointly present on either side: the effective value
+      // set is their intersection under JSON-number equality, which this
+      // syntactic classifier does not model — any difference is Incomparable
+      // (a Some(Set.empty) encoding here would read as subset-of-everything
+      // and misclassify as Relaxed)
+      def opaqueValues(s: JObject): Boolean =
+        (s \ "const") != JNothing && (s \ "enum") != JNothing
+      val valueChange: Seq[Change] =
+       if (opaqueValues(oo) || opaqueValues(no)) {
+        if ((oo \ "const", oo \ "enum") == (no \ "const", no \ "enum")) Seq.empty
+        else Seq(Change(s"$path/enum", "enum/const", Some("const+enum"),
+          Some("const+enum"), Incomparable,
+          "const and enum jointly present; compared opaquely"))
+       } else (valueSet(oo), valueSet(no)) match {
         case (a, b) if a == b => Seq.empty
         case (None, Some(_)) => Seq(Change(s"$path/enum", "enum/const", None,
           Some(render(no \ "enum" match { case JNothing => no \ "const"; case e => e })),
@@ -124,12 +146,12 @@ object SchemaCompat {
           Some(render(oo \ "enum" match { case JNothing => oo \ "const"; case e => e })),
           None, dir(flip, Relaxed), "value constraint removed"))
         case (Some(a), Some(b)) =>
-          val d = if (a.subsetOf(b)) Relaxed
-                  else if (b.subsetOf(a)) Tightened
-                  else Tightened
+          val (d, msg) =
+            if (a.subsetOf(b)) (dir(flip, Relaxed), "allowed values grew")
+            else if (b.subsetOf(a)) (dir(flip, Tightened), "allowed values shrank")
+            else (Incomparable: Direction, "allowed values diverged")
           Seq(Change(s"$path/enum", "enum/const", Some(a.map(render).toSeq.sorted.mkString(",")),
-            Some(b.map(render).toSeq.sorted.mkString(",")), dir(flip, d),
-            if (d == Relaxed) "allowed values grew" else "allowed values shrank or diverged"))
+            Some(b.map(render).toSeq.sorted.mkString(",")), d, msg))
       }
       val keys = (oo.obj.map(_._1) ++ no.obj.map(_._1)).distinct
         .filterNot(k => k == "const" || k == "enum")
@@ -179,7 +201,13 @@ object SchemaCompat {
           // every multiple of a is a multiple of b iff b divides a exactly
           val q = a / b
           if (q == math.floor(q) && !q.isInfinite) both(Relaxed, "new divisor divides the old")
-          else both(Tightened, "divisors incomparable")
+          else {
+            val r = b / a
+            if (r == math.floor(r) && !r.isInfinite)
+              both(Tightened, "old divisor divides the new")
+            else Seq(Change(p, k, Some(render(ov)), Some(render(nv)),
+              Incomparable, "divisors incomparable"))
+          }
         case _ => Seq.empty
       }
 
@@ -196,7 +224,8 @@ object SchemaCompat {
           case (Some(a), Some(b)) =>
             if (widen(a).subsetOf(widen(b))) both(Relaxed, "type set expanded")
             else if (widen(b).subsetOf(widen(a))) both(Tightened, "type set narrowed")
-            else both(Tightened, "type sets incomparable")
+            else Seq(Change(p, k, Some(render(ov)), Some(render(nv)),
+              Incomparable, "type sets incomparable"))
           case _ => Seq.empty
         }
 
@@ -207,15 +236,23 @@ object SchemaCompat {
         }
         val added = set(nv) -- set(ov)
         val removed = set(ov) -- set(nv)
-        (if (added.nonEmpty) both(Tightened, s"now required: ${added.toSeq.sorted.mkString(",")}") else Nil) ++
-          (if (removed.nonEmpty && added.isEmpty)
-            both(Relaxed, s"no longer required: ${removed.toSeq.sorted.mkString(",")}") else Nil)
+        if (added.nonEmpty && removed.nonEmpty)
+          Seq(Change(p, k, Option(ov).filter(_ != JNothing).map(render),
+            Option(nv).filter(_ != JNothing).map(render), Incomparable,
+            s"required keys both added (${added.toSeq.sorted.mkString(",")}) " +
+              s"and removed (${removed.toSeq.sorted.mkString(",")})"))
+        else if (added.nonEmpty)
+          both(Tightened, s"now required: ${added.toSeq.sorted.mkString(",")}")
+        else if (removed.nonEmpty)
+          both(Relaxed, s"no longer required: ${removed.toSeq.sorted.mkString(",")}")
+        else Seq.empty
 
       case "pattern" | "format" =>
         (ov, nv) match {
           case (JNothing, _) => both(Tightened, s"$k introduced")
           case (_, JNothing) => both(Relaxed, s"$k removed")
-          case _ => both(Tightened, s"$k changed; regex/format inclusion not provable")
+          case _ => Seq(Change(p, k, Some(render(ov)), Some(render(nv)),
+            Incomparable, s"$k changed; regex/format inclusion not provable"))
         }
 
       case "uniqueItems" =>
@@ -240,8 +277,10 @@ object SchemaCompat {
               Seq(Change(s"$p/$name", k, Some(render(os)), None,
                 dir(flip, Relaxed), "subschema removed; keys fall through unconstrained"))
             case (Some(os), None) =>
+              // the key now falls to the catch-all, which may be looser OR
+              // stricter than the removed subschema — not provable either way
               Seq(Change(s"$p/$name", k, Some(render(os)), None,
-                dir(flip, Tightened),
+                Incomparable,
                 "subschema removed; keys now fall to a constraining additional/unevaluatedProperties"))
             case _ => Seq.empty
           }
@@ -258,7 +297,9 @@ object SchemaCompat {
         case (JArray(os), JArray(ns)) if os.length == ns.length =>
           os.zip(ns).zipWithIndex.flatMap { case ((a, b), i) =>
             diffSchemas(a, b, s"$p/$i", flip) }
-        case _ => both(Tightened, "prefix length changed; positional semantics shift")
+        case _ => Seq(Change(p, k, Option(ov).filter(_ != JNothing).map(render),
+          Option(nv).filter(_ != JNothing).map(render), Incomparable,
+          "prefix length changed; positional semantics shift"))
       }
 
       case "not" => (ov, nv) match {
@@ -269,29 +310,42 @@ object SchemaCompat {
 
       case "anyOf" => (ov, nv) match {
         case (JArray(os), JArray(ns)) =>
-          if (os.forall(ns.contains)) // every old branch survives
-            (if (ns.length > os.length) both(Relaxed, "branches added") else Seq.empty)
-          else if (ns.forall(os.contains))
-            both(Tightened, "branches removed")
-          else both(Tightened, "branches changed; not provably monotone")
+          // anyOf's valid set is the UNION of its branches, so duplicate
+          // branches are idempotent and SET comparison is exact — a
+          // length-based check would read [s,s]→[s,t] as "no change"
+          val osS = os.toSet; val nsS = ns.toSet
+          if (osS == nsS) Seq.empty
+          else if (osS.subsetOf(nsS)) both(Relaxed, "branches added")
+          else if (nsS.subsetOf(osS)) both(Tightened, "branches removed")
+          else Seq(Change(p, k, Some(render(ov)), Some(render(nv)),
+            Incomparable, "branches changed; not provably monotone"))
         case (JNothing, _) => both(Tightened, "anyOf introduced")
         case (_, JNothing) => both(Relaxed, "anyOf removed")
-        case _ => both(Tightened, "anyOf changed shape")
+        case _ => Seq(Change(p, k, Option(ov).filter(_ != JNothing).map(render),
+          Option(nv).filter(_ != JNothing).map(render), Incomparable,
+          "anyOf changed shape"))
       }
 
       case "allOf" => (ov, nv) match {
         case (JArray(os), JArray(ns)) =>
-          if (ns.forall(os.contains)) // branches only removed
-            (if (os.length > ns.length) both(Relaxed, "branches removed") else Seq.empty)
-          else if (os.forall(ns.contains))
-            both(Tightened, "branches added")
+          // conjunction: duplicates idempotent, so compare as SETS first;
+          // equal-length non-subset lists fall back to positional recursion
+          // (a reorder then reads as spurious per-branch changes — safe
+          // direction, it can only force an unnecessary rescan)
+          val osS = os.toSet; val nsS = ns.toSet
+          if (osS == nsS) Seq.empty
+          else if (nsS.subsetOf(osS)) both(Relaxed, "branches removed")
+          else if (osS.subsetOf(nsS)) both(Tightened, "branches added")
           else if (os.length == ns.length)
             os.zip(ns).zipWithIndex.flatMap { case ((a, b), i) =>
               diffSchemas(a, b, s"$p/$i", flip) }
-          else both(Tightened, "branches changed; not provably monotone")
+          else Seq(Change(p, k, Some(render(ov)), Some(render(nv)),
+            Incomparable, "branches changed; not provably monotone"))
         case (JNothing, _) => both(Tightened, "allOf introduced")
         case (_, JNothing) => both(Relaxed, "allOf removed")
-        case _ => both(Tightened, "allOf changed shape")
+        case _ => Seq(Change(p, k, Option(ov).filter(_ != JNothing).map(render),
+          Option(nv).filter(_ != JNothing).map(render), Incomparable,
+          "allOf changed shape"))
       }
 
       case "dependentRequired" | "dependencies" | "dependentSchemas" =>
@@ -311,7 +365,7 @@ object SchemaCompat {
               else if (bs.subsetOf(as)) Seq(Change(s"$p/$trig", k, Some(render(JArray(a))),
                 Some(render(JArray(b))), dir(flip, Relaxed), "dependents removed"))
               else Seq(Change(s"$p/$trig", k, Some(render(JArray(a))),
-                Some(render(JArray(b))), Tightened, "dependents incomparable"))
+                Some(render(JArray(b))), Incomparable, "dependents incomparable"))
             case (Some(a), Some(b)) => diffSchemas(a, b, s"$p/$trig", flip)
             case _ => Seq.empty
           }
@@ -320,7 +374,9 @@ object SchemaCompat {
       // non-monotone or resolution-dependent contexts: any change forces a rescan
       case "oneOf" | "if" | "then" | "else" | "$ref" | "$dynamicRef" | "$defs"
            | "definitions" =>
-        both(Tightened, s"$k changed; non-monotone or resolution-dependent — treated as tightening")
+        Seq(Change(p, k, Option(ov).filter(_ != JNothing).map(render),
+          Option(nv).filter(_ != JNothing).map(render), Incomparable,
+          s"$k changed; non-monotone or resolution-dependent — rescan required"))
 
       case _ =>
         Seq(Change(p, k, Option(ov).filter(_ != JNothing).map(render),

@@ -30,6 +30,10 @@ import graft.expr.CappedCollectSet
   */
 object SchemaInference {
 
+  /** Domain-encoding separator for `enum_csv`: U+001F (unit separator). */
+  val EnumSep = "\u001f"
+
+
   /** Max distinct values for a string column to become an `enum`. */
   val DefaultEnumCap = 64
 
@@ -59,7 +63,10 @@ object SchemaInference {
     * skipped. Output schema:
     * (col_name, json_type, required, min_num, max_num, min_len, max_len, enum_csv).
     *
-    * `enum_csv` is the SORTED distinct domain joined with '|' when the column
+    * `enum_csv` is the SORTED distinct domain joined with the unit
+    * separator (U+001F — a control char no observed value can contain,
+    * unlike '|', which splits any value carrying a pipe into bogus
+    * members) when the column
     * is a string with ≤ enumCap distinct values, else null. `required` means
     * zero observed nulls. Numeric facets are cast to double (JSON numbers
     * compare as float64 in the validator — `validator.go:43-52`). */
@@ -70,7 +77,7 @@ object SchemaInference {
 
     val aggs: Seq[org.apache.spark.sql.Column] =
       count(lit(1)).as("__n") +: facets.flatMap { fc =>
-        val c = col(fc.name)
+        val c = col("`" + fc.name.replace("`", "``") + "`")
         Seq(count(c).as(s"${fc.name}__nn")) ++
           (if (fc.numeric) Seq(
             min(c).cast(DoubleType).as(s"${fc.name}__min"),
@@ -95,13 +102,14 @@ object SchemaInference {
       val dom: Option[Seq[String]] =
         if (!fc.enumable) None
         else opt[scala.collection.Seq[String]](row, s"${fc.name}__dom")
-          .map(_.toSeq).filter(_.size <= enumCap).map(_.sorted)
+          .map(_.toSeq).filter(ds => ds.nonEmpty && ds.size <= enumCap)
+          .map(_.sorted) // empty domain (all-null column) → no enum facet
       (fc.name, fc.jsonType, total > 0 && nn == total,
         if (fc.numeric) opt[Double](row, s"${fc.name}__min") else None,
         if (fc.numeric) opt[Double](row, s"${fc.name}__max") else None,
         if (fc.lengthy) opt[Long](row, s"${fc.name}__minl") else None,
         if (fc.lengthy) opt[Long](row, s"${fc.name}__maxl") else None,
-        dom.map(_.mkString("|")))
+        dom.map(_.mkString(EnumSep)))
     }
 
     import spark.implicits._
@@ -130,7 +138,7 @@ object SchemaInference {
       val kws: Vector[Keyword] = enumCsv match {
         case Some(csv) =>
           // exact domain: enum subsumes type/length facets
-          Vector(EnumK(csv.split('|').toList.map(JString(_))))
+          Vector(EnumK(csv.split(EnumSep).toList.map(JString(_))))
         case None =>
           Vector(TypeK(Set(r.getAs[String]("json_type")))) ++
             fc.format.map(FormatK(_)) ++
@@ -187,7 +195,7 @@ object SchemaInference {
           r.getAs[Boolean]("required"),
           o[Double]("min_num"), o[Double]("max_num"),
           o[Long]("min_len"), o[Long]("max_len"),
-          o[String]("enum_csv").map(_.split('|').toSet))
+          o[String]("enum_csv").map(_.split(EnumSep).toSet))
       }.toMap
     val cur = read(current)
     val base = read(baseline)

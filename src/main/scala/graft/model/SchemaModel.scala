@@ -111,8 +111,8 @@ final case class AnnotationK(name: String, value: JValue) extends Keyword
   * The legacy flat `anchors`/`dynamicAnchors` tables (document-order
   * first-wins) are kept as the fallback for single-resource documents. */
 final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
-                           anchors: Map[String, JValue],
-                           dynamicAnchors: Map[String, JValue] = Map.empty,
+                           anchors: Map[String, (JValue, String)],
+                           dynamicAnchors: Map[String, (JValue, String)] = Map.empty,
                            baseUri: String = "",
                            resources: Map[String, JValue] = Map.empty,
                            scopedAnchors: Map[(String, String), JValue] = Map.empty,
@@ -137,8 +137,11 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
     // for non-dynamic $refs.
     case a => scopedAnchors.get((resBase, a))
       .orElse(scopedDynAnchors.get((resBase, a)))
-      .orElse(anchors.get(a)).orElse(dynamicAnchors.get(a))
       .map((_, resBase))
+      // flat document-order fallback: the anchor may live inside an embedded
+      // $id resource, so it carries ITS OWN base — pairing it with the query
+      // resource's base would absolutize the subtree's relative refs wrongly
+      .orElse(anchors.get(a)).orElse(dynamicAnchors.get(a))
       .getOrElse(throw new IllegalArgumentException(s"unknown anchor in $ref"))
   }
 
@@ -186,7 +189,7 @@ final case class SchemaDoc(root: SchemaNode, rawRoot: JValue,
     val (uriPart, frag) = splitRef(ref)
     val local = uriPart.isEmpty || uriPart == baseUri || resources.contains(uriPart)
     if (local)
-      dynamicAnchors.get(frag).map((_, baseUri)).getOrElse(resolveRefWithBase(ref))
+      dynamicAnchors.get(frag).getOrElse(resolveRefWithBase(ref))
     else SchemaLoader.resolve(uriPart) match {
       // the static dynamic-scope approximation stays within the OWNING
       // document: its outermost $dynamicAnchor of that name wins
@@ -213,17 +216,22 @@ object SchemaParser {
     * cache (`internal/schemacache/schemacache.go:16-73`, concurrent variant
     * :45-73). Parsing is pure, so the cache is just a concurrent map keyed by
     * the schema text. */
+  // bounded: a standing service parsing many distinct (e.g. per-snapshot
+  // inferred) schema texts must not retain every one for the JVM lifetime —
+  // on overflow the whole memo is dropped (parses are cheap relative to the
+  // compile they front; a real LRU is not worth the locking here)
+  private val ParseMemoMax = 1024
   private val parseMemo = scala.collection.concurrent.TrieMap.empty[String, SchemaDoc]
-  def parseCached(jsonText: String): SchemaDoc =
+  def parseCached(jsonText: String): SchemaDoc = {
+    if (parseMemo.size > ParseMemoMax) parseMemo.clear()
     parseMemo.getOrElseUpdate(jsonText, parse(jsonText))
+  }
 
   def parseJValue(raw: JValue): SchemaDoc = parseJValue(raw, "")
 
   /** Parse with a retrieval base URI (the URI the document was loaded from,
     * if any) — the document's own top-level `$id` takes precedence. */
   def parseJValue(raw: JValue, retrievalUri: String): SchemaDoc = {
-    val anchors = collectAnchors(raw, "$anchor", Map.empty)
-    val dynAnchors = collectAnchors(raw, "$dynamicAnchor", Map.empty)
     val rootBase = raw match {
       case o: JObject => o \ "$id" match {
         case JString(id) => resolveUri(retrievalUri, stripFragment(id))
@@ -240,6 +248,8 @@ object SchemaParser {
       }
       case _ => None
     })
+    val anchors = collectAnchors(raw, "$anchor", rootBase, Map.empty)
+    val dynAnchors = collectAnchors(raw, "$dynamicAnchor", rootBase, Map.empty)
     val tables = collectScoped(raw, rootBase, ScopedTables())
     SchemaDoc(parseNode(raw, retrievalUri, dialect), raw, anchors, dynAnchors,
       baseUri = rootBase, resources = tables.resources,
@@ -322,14 +332,18 @@ object SchemaParser {
     * `$dynamicAnchor` names. First occurrence wins, so the OUTERMOST anchor
     * shadows inner ones — the static analogue of the dynamic-scope rule
     * (validate.go:138-142). */
-  private def collectAnchors(v: JValue, key: String,
-                             acc: Map[String, JValue]): Map[String, JValue] = v match {
+  private def collectAnchors(v: JValue, key: String, base: String,
+      acc: Map[String, (JValue, String)]): Map[String, (JValue, String)] = v match {
     case o: JObject =>
+      val newBase = o \ "$id" match {
+        case JString(id) => resolveUri(base, stripFragment(id))
+        case _ => base
+      }
       val here = o \ key match {
-        case JString(a) if !acc.contains(a) => acc + (a -> o)
+        case JString(a) if !acc.contains(a) => acc + (a -> ((o, newBase)))
         case _ => acc
       }
-      childSchemas(o).foldLeft(here)((m, c) => collectAnchors(c, key, m))
+      childSchemas(o).foldLeft(here)((m, c) => collectAnchors(c, key, newBase, m))
     case _ => acc
   }
 
@@ -350,7 +364,7 @@ object SchemaParser {
         case JString(id) => resolveUri(base, stripFragment(id))
         case _ => base
       }
-      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv, newBase, d) }.toVector
+      val kws = o.obj.iterator.flatMap { case (k, jv) => parseKeyword(k, jv, newBase, d, o) }.toVector
       ObjSchema(kws)
     case other =>
       throw new IllegalArgumentException(s"schema must be object or boolean, got $other")
@@ -388,8 +402,8 @@ object SchemaParser {
     * unknown keywords are retained as always-valid annotations, matching
     * schema.go:521-532. */
   private def parseKeyword(k: String, v: JValue, base: String,
-                           d: Dialect): Option[Keyword] = {
-    d.overrides(k, v, base) match {
+                           d: Dialect, siblings: JObject): Option[Keyword] = {
+    d.overrides(k, v, base, siblings) match {
       case some @ Some(_) => return some
       case None => ()
     }

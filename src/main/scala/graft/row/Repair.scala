@@ -34,10 +34,26 @@ import org.json4s.{JBool, JDouble, JInt, JLong, JString, JValue}
   * row per top-level property — is computed in the SAME single pass
   * (sum of value-changed flags), so repair + audit costs one scan. */
 object Repair {
+  /** Column reference by literal name — backtick-quoted so names containing
+    * dots (common in JSON-derived frames) resolve as top-level columns, not
+    * nested-field paths. */
+  private def qcol(name: String): Column =
+    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
+
 
   private def isNumeric(dt: DataType): Boolean = dt match {
     case _: NumericType => true
     case _ => false
+  }
+
+  /** A numeric bound as the TIGHTEST in-type literal: casting a fractional
+    * bound to an integral column truncates toward zero, which can clamp a
+    * value ONTO a number that still violates the bound (minimum 5.7 →
+    * cast 5 < 5.7) — minima round up, maxima round down. */
+  private def boundLit(v: Double, dt: DataType, isMin: Boolean): Column = dt match {
+    case ByteType | ShortType | IntegerType | LongType =>
+      lit(if (isMin) math.ceil(v) else math.floor(v)).cast(dt)
+    case _ => lit(v).cast(dt)
   }
 
   /** The repair expression for one property, or None when no repair rule
@@ -52,8 +68,8 @@ object Repair {
       val hi = kws.collectFirst { case MaximumK(v) => v }
       if (lo.isDefined || hi.isDefined) {
         var x = cur
-        lo.foreach(v => x = greatest(x, lit(v).cast(dt)))
-        hi.foreach(v => x = least(x, lit(v).cast(dt)))
+        lo.foreach(v => x = greatest(x, boundLit(v, dt, isMin = true)))
+        hi.foreach(v => x = least(x, boundLit(v, dt, isMin = false)))
         cur = when(cur.isNull, cur).otherwise(x)
         touched = true
       }
@@ -99,8 +115,8 @@ object Repair {
             if (lo.isDefined || hi.isDefined) {
               cur = when(cur.isNull, cur).otherwise(transform(cur, x => {
                 var y = x
-                lo.foreach(v => y = greatest(y, lit(v).cast(et)))
-                hi.foreach(v => y = least(y, lit(v).cast(et)))
+                lo.foreach(v => y = greatest(y, boundLit(v, et, isMin = true)))
+                hi.foreach(v => y = least(y, boundLit(v, et, isMin = false)))
                 when(x.isNull, x).otherwise(y)
               }))
               touched = true
@@ -120,7 +136,7 @@ object Repair {
       case ObjSchema(kws) =>
         kws.collectFirst { case PropertiesK(ps) => ps }.getOrElse(Vector.empty)
           .collect { case (name, ObjSchema(pk)) if defaulted.columns.contains(name) =>
-            repairCol(pk, col(name), defaulted.schema(name).dataType)
+            repairCol(pk, qcol(name), defaulted.schema(name).dataType)
               .map(name -> _)
           }.flatten
       case _ => Seq.empty
@@ -132,7 +148,7 @@ object Repair {
     // false ON THE DEFAULTED FRAME (defaults themselves are opted into via
     // applyDefaults, not counted as repairs)
     val flags = rules.map { case (name, expr) =>
-      sum(when(!(col(name) <=> expr), 1L).otherwise(0L)).as(name)
+      sum(when(!(qcol(name) <=> expr), 1L).otherwise(0L)).as(name)
     }
     val report =
       if (flags.isEmpty)
@@ -142,7 +158,7 @@ object Repair {
             StructField("n_repaired", LongType, nullable = true))))
       else defaulted.agg(flags.head, flags.tail: _*)
         .select(explode(array(rules.map { case (name, _) =>
-          struct(lit(name).as("column"), col(name).as("n_repaired")) }: _*)).as("r"))
+          struct(lit(name).as("column"), qcol(name).as("n_repaired")) }: _*)).as("r"))
         .select(col("r.column").as("column"), col("r.n_repaired").as("n_repaired"))
     (repaired, report)
   }

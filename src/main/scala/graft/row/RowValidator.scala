@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.StructType
   * exploded into a violations Dataset.
   */
 object RowValidator {
+  /** Column reference by literal name — backtick-quoted so names containing
+    * dots (common in JSON-derived frames) resolve as top-level columns, not
+    * nested-field paths. */
+  private def qcol(name: String): Column =
+    org.apache.spark.sql.functions.col("`" + name.replace("`", "``") + "`")
+
 
   private def emptyViolationsLit: Column = ConstraintCompiler.emptyViolations
 
@@ -23,7 +29,7 @@ object RowValidator {
     * `_violations: array<struct<keyword,keywordLocation,instanceLocation,message>>`. */
   def withValidation(df: DataFrame, doc: SchemaDoc,
                      opts: CompileOpts = CompileOpts()): DataFrame = {
-    val target = struct(df.columns.toIndexedSeq.map(col): _*)
+    val target = struct(df.columns.toIndexedSeq.map(qcol): _*)
     val compiled: Compiled =
       ConstraintCompiler.compile(doc, target, df.schema, opts)
     df.withColumn("_violations", compiled.violations)
@@ -42,9 +48,9 @@ object RowValidator {
   def violations(df: DataFrame, doc: SchemaDoc, idCol: String,
                  opts: CompileOpts = CompileOpts(),
                  extraCols: Seq[String] = Nil): DataFrame = {
-    val target = struct(df.columns.toIndexedSeq.map(col): _*)
+    val target = struct(df.columns.toIndexedSeq.map(qcol): _*)
     val compiled = ConstraintCompiler.compile(doc, target, df.schema, opts)
-    val keep = (extraCols :+ idCol).distinct.map(col)
+    val keep = (extraCols :+ idCol).distinct.map(qcol)
     // The nondeterministic-but-constant guard is load-bearing: without it,
     // InferFiltersFromGenerate derives `size(_violations) > 0` from the
     // explode below, and PushDownPredicates substitutes the ENTIRE violations
@@ -70,7 +76,7 @@ object RowValidator {
     * defer violation construction to [[violationsFromPayload]]. */
   def validity(df: DataFrame, doc: SchemaDoc,
                opts: CompileOpts = CompileOpts()): Column = {
-    val target = struct(df.columns.toIndexedSeq.map(col): _*)
+    val target = struct(df.columns.toIndexedSeq.map(qcol): _*)
     ConstraintCompiler.compile(doc, target, df.schema, opts).valid
   }
 
@@ -87,7 +93,7 @@ object RowValidator {
                             extraCols: Seq[String] = Nil): DataFrame = {
     val rowSchema = digest.schema(payloadCol).dataType
     val compiled = ConstraintCompiler.compile(doc, col(payloadCol), rowSchema, opts)
-    val keep = (extraCols :+ idCol).distinct.map(col)
+    val keep = (extraCols :+ idCol).distinct.map(qcol)
     // same nondeterminism guard as violations(): pins the CodegenFallback
     // construction in its own projection above the isNotNull filter
     val guarded = when(spark_partition_id() >= 0, compiled.violations)
@@ -182,7 +188,7 @@ object RowValidator {
           else {
             val dt = acc.schema(name).dataType
             if (!hasDefaultsDeep(sub, dt, required(name))) acc
-            else acc.withColumn(name, defaultedCol(sub, col(name), dt, required(name)))
+            else acc.withColumn(name, defaultedCol(sub, qcol(name), dt, required(name)))
           }
         }
       case _ => df

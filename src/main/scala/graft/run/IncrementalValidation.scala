@@ -82,7 +82,9 @@ object IncrementalValidation {
     state.recordedSchema().filter(_ != cfg.schemaJson).foreach { old =>
       val changes = graft.model.SchemaCompat.diff(old, cfg.schemaJson)
       if (!graft.model.SchemaCompat.canPromoteWithoutRescan(changes)) {
-        val t = changes.filter(_.direction == graft.model.SchemaCompat.Tightened)
+        val t = changes.filter(c =>
+          c.direction == graft.model.SchemaCompat.Tightened ||
+          c.direction == graft.model.SchemaCompat.Incomparable)
         throw new IllegalStateException(
           s"schema change TIGHTENS ${t.size} constraint(s) " +
             s"(${t.map(_.path).take(5).mkString(", ")}); prior verdicts do not " +

@@ -38,6 +38,30 @@ class DialectSpec extends SparkSpec {
     assert(bad.find(_._1 == "bad_rest").get._3.contains("/items/"))
   }
 
+  test("draft-7 additionalItems is IGNORED when items is schema-form or absent") {
+    // spec: additionalItems only applies when items is the array form —
+    // mapping it to ItemsK here would shadow the real rest-of-array schema
+    val schema = """{
+      "$schema": "http://json-schema.org/draft-07/schema#",
+      "properties": {
+        "xs": {"type": "array",
+               "items": {"type": "integer"},
+               "additionalItems": {"type": "string"}}
+      }
+    }"""
+    val doc = SchemaParser.parse(schema)
+    val df = Seq(("all_int", Seq(1, 2, 3))).toDF("id", "xs")
+    // every element must be an integer (the real items schema); the
+    // additionalItems string constraint must NOT apply to anything
+    assert(RowValidator.violations(df, doc, "id").count() == 0)
+    // absent items: additionalItems is likewise inert
+    val doc2 = SchemaParser.parse("""{
+      "$schema": "http://json-schema.org/draft-07/schema#",
+      "properties": {"xs": {"additionalItems": {"type": "string"}}}
+    }""")
+    assert(RowValidator.violations(df, doc2, "id").count() == 0)
+  }
+
   test("a draft-7 document parses dependencies natively under its own $schema") {
     val schema = """{
       "$schema": "http://json-schema.org/draft-07/schema#",
@@ -76,7 +100,7 @@ class DialectSpec extends SparkSpec {
     import org.json4s._
     Dialects.register(Dialect("range-sugar",
       Set("https://example.com/dialects/range"),
-      (k, v, _) => (k, v) match {
+      (k, v, _, _) => (k, v) match {
         case ("range", JArray(List(lo, hi))) =>
           Some(graft.model.AllOfK(Vector(
             graft.model.ObjSchema(Vector(

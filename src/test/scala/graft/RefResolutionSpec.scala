@@ -145,6 +145,27 @@ class RefResolutionSpec extends SparkSpec with BeforeAndAfterEach {
     assert(violationsOf(schema) == Map("minimum" -> 1L))
   }
 
+  test("flat-fallback anchor resolution carries the anchor's OWN resource base") {
+    // the anchor lives inside an embedded $id resource; its relative $ref
+    // must absolutize against THAT resource's base (sub/leaf), not the
+    // referring root's (which would yield an unresolvable ../leaf)
+    val schema =
+      """{
+        "$id": "https://example.test/anchbase/root",
+        "$defs": {
+          "sub": {
+            "$id": "sub/inner",
+            "$defs": {
+              "m": {"$anchor": "deep", "$ref": "leaf"},
+              "leafRes": {"$id": "leaf", "type": "integer", "minimum": 0}
+            }
+          }
+        },
+        "properties": {"score": {"$ref": "#deep"}}
+      }"""
+    assert(violationsOf(schema) == Map("minimum" -> 1L))
+  }
+
   test("enableHttpLoader fetches a non-bundled URI over HTTP (opt-in, off by default)") {
     // local HTTP fixture — no external network; the loader semantics match
     // the reference's URL loader (schema.go:1045-1052): absolute retrieval

@@ -72,4 +72,22 @@ class RepairSpec extends SparkSpec {
     val counts = report.as[(String, Long)].collect().toMap
     assert(counts("n") == 0L && counts("xs") == 1L)
   }
+
+  test("fractional bounds clamp integral columns to an in-bound value") {
+    // cast-truncation would clamp 3 to 5 (< 5.7, still violating) and -3 to
+    // -5 (> -5.7): minima must round UP, maxima DOWN
+    val doc2 = SchemaParser.parse(
+      """{"properties": {
+           "lo": {"type": "integer", "minimum": 5.7},
+           "hi": {"type": "integer", "maximum": -5.7},
+           "xs": {"type": "array", "items": {"minimum": 1.2}}}}""")
+    val df = Seq((3L, -3L, Seq(0, 9))).toDF("lo", "hi", "xs")
+    val (rep, _) = Repair.repair(df, doc2)
+    val r = rep.collect().head
+    assert(r.getLong(0) == 6L)   // ceil(5.7)
+    assert(r.getLong(1) == -6L)  // floor(-5.7)
+    assert(r.getSeq[Int](2) == Seq(2, 9)) // element clamp: ceil(1.2)
+    // the repaired rows satisfy the schema (the repaired-rows-clean contract)
+    assert(RowValidator.violations(rep, doc2, "lo").count() == 0)
+  }
 }

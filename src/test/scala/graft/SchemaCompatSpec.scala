@@ -144,4 +144,43 @@ class SchemaCompatSpec extends SparkSpec {
     assert(c.path == "/properties/a/minimum" && c.direction == Tightened)
     assert(c.oldValue.contains("1") && c.newValue.contains("5"))
   }
+
+  test("unprovable changes are Incomparable and never flip to Relaxed under not") {
+    // a genuine tightening routed through not: instance 5 was old-valid
+    // (not a string) and is new-invalid (matches integer) — a naive
+    // polarity flip of an unprovable "Tightened" would wrongly promote
+    assert(!promotable("""{"not": {"type": "string"}}""",
+                       """{"not": {"type": "integer"}}"""))
+    // changed $ref target under not: resolution-dependent, never promotable
+    assert(!promotable(
+      """{"not": {"$ref": "#/$defs/a"}, "$defs": {"a": {"type": "string"}}}""",
+      """{"not": {"$ref": "#/$defs/b"}, "$defs": {"b": {"type": "integer"}}}"""))
+    // required add+remove is incomparable in EITHER polarity
+    assert(!promotable("""{"required": ["a"]}""", """{"required": ["b"]}"""))
+    assert(!promotable("""{"not": {"required": ["a"]}}""",
+                       """{"not": {"required": ["b"]}}"""))
+    // pattern change under not stays rescan-forcing
+    assert(!promotable("""{"not": {"pattern": "^a"}}""",
+                       """{"not": {"pattern": "^b"}}"""))
+  }
+
+  test("const+enum jointly present compares opaquely, not as the empty set") {
+    // old valid set is {1}; an empty-set encoding would read subset-of-{2}
+    // as Relaxed and wrongly promote over now-invalid instance 1
+    assert(!promotable("""{"const": 1, "enum": [1]}""", """{"enum": [2]}"""))
+    // unchanged const+enum pair is still no-change
+    assert(promotable("""{"const": 1, "enum": [1]}""",
+                      """{"const": 1, "enum": [1]}"""))
+  }
+
+  test("anyOf branch comparison is set-based (duplicates are idempotent)") {
+    // [s,s] -> [s,int]: same length, but the union GREW — relaxed at root...
+    assert(promotable(
+      """{"anyOf": [{"type": "string"}, {"type": "string"}]}""",
+      """{"anyOf": [{"type": "string"}, {"type": "integer"}]}"""))
+    // ...and therefore TIGHTENED under not (instance 5: old-valid, new-invalid)
+    assert(!promotable(
+      """{"not": {"anyOf": [{"type": "string"}, {"type": "string"}]}}""",
+      """{"not": {"anyOf": [{"type": "string"}, {"type": "integer"}]}}"""))
+  }
 }

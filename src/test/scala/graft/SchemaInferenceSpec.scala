@@ -51,17 +51,28 @@ class SchemaInferenceSpec extends SparkSpec {
            p("name").getAs[Long]("max_len") == 10L)
 
     // 3 distinct countries ≤ cap → exact sorted domain
-    assert(p("country").getAs[String]("enum_csv") == "DE|FR|US")
+    assert(p("country").getAs[String]("enum_csv") == "DE\u001fFR\u001fUS")
 
     // column with a null is not required
     assert(!p("opt").getAs[Boolean]("required"))
-    assert(p("opt").getAs[String]("enum_csv") == "x|y")
+    assert(p("opt").getAs[String]("enum_csv") == "x\u001fy")
   }
 
   test("round trip: inferred schema validates every profiled row") {
     val json = SchemaInference.inferJson(df, enumCap = 3)
     val doc = SchemaParser.parse(json)
     assert(RowValidator.violations(df, doc, "id").count() == 0)
+  }
+
+  test("enum values containing '|' survive the domain encoding round trip") {
+    // the domain separator is U+001F, so a pipe inside a VALUE must not
+    // split it into bogus enum members
+    val piped = Seq(("1", "a|b"), ("2", "c")).toDF("id", "v")
+    val doc = SchemaParser.parse(SchemaInference.inferJson(piped, enumCap = 8))
+    assert(RowValidator.violations(piped, doc, "id").count() == 0)
+    // an in-domain id with a pipe FRAGMENT as v: only v's enum fires
+    val bad = Seq(("1", "a")).toDF("id", "v")
+    assert(RowValidator.violations(bad, doc, "id").count() == 1)
   }
 
   test("round trip: out-of-domain rows violate the inferred schema") {
